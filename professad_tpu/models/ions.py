@@ -1,0 +1,260 @@
+"""Ion-related utilities: recpot pseudopotentials, structure factors,
+lattice sums and the real-space ion-ion interaction.
+
+TPU-native rebuild of /root/reference/src/professad/ion_utils.py.
+
+Design notes:
+
+* Particle-mesh Ewald charge spreading is a SINGLE fused scatter-add over all
+  (ions x order^3) contributions — the reference loops over ions in Python
+  (ion_utils.py:270-273).  XLA lowers the scatter to an efficient TPU kernel
+  and its transpose (for forces/stress autodiff) is a gather.
+* The real-space ion-ion sum replaces torch-nl with a static periodic-image
+  shift table (host-side, from the concrete cell) and a `lax.scan` over shift
+  chunks, so memory stays bounded for large cutoffs and the whole sum is
+  differentiable w.r.t. coordinates and lattice vectors.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf, erfc
+
+from ..ops.grid import wavevecs, volume, safe_sqrt
+from ..ops.interp import interpolate
+from ..utils.constants import RECPOT_BOHR, RECPOT_POT_CONV
+
+__all__ = [
+    "get_ion_charge", "read_recpot", "interpolate_recpot",
+    "lattice_sum", "structure_factor", "structure_factor_spline",
+    "cardinal_b_spline_values", "exponential_spline_b",
+    "neighbor_shifts", "ion_interaction_sum",
+]
+
+
+# --------------------------- recpot file reading ---------------------------
+
+def read_recpot(path):
+    """Parse a CASTEP-style .recpot file (host-side).
+
+    Returns (ks, pot_ft, z): the k grid [1/bohr], the tabulated local
+    pseudopotential with the Coulomb tail ADDED back (so the table is smooth),
+    and the inferred ion charge.
+
+    Parity: ion_utils.py:20-81.
+    """
+    values = []
+    with open(path, "r") as fh:
+        for line in fh:
+            if "END COMMENT" in line:
+                break
+        fh.readline()  # the '3     5' version line
+        k_max = float(fh.readline()) * RECPOT_BOHR
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 3:
+                values += parts
+    pot_ft = np.asarray(values, dtype=np.float64) * RECPOT_POT_CONV
+    ks, dk = np.linspace(0.0, k_max, pot_ft.size, retstep=True)
+    z = round((pot_ft[1] - pot_ft[0]) * dk * dk / (-4.0 * np.pi))
+    pot_ft = pot_ft.copy()
+    pot_ft[1:] += 4.0 * np.pi * z / (ks[1:] * ks[1:])
+    return ks, pot_ft, z
+
+
+def get_ion_charge(path):
+    """Ion charge Z from the k->0 limit -4 pi Z / k^2 (ion_utils.py:20-46)."""
+    return read_recpot(path)[2]
+
+
+def interpolate_recpot(path, ks_interp):
+    """Interpolate the tabulated recpot onto wavenumbers ``ks_interp``, with the
+    singular Coulomb part handled analytically (ion_utils.py:49-81)."""
+    ks, pot_ft, z = read_recpot(path)
+    ks_j = jnp.asarray(ks)
+    pot_j = jnp.asarray(pot_ft)
+    interp = interpolate(ks_j, pot_j, jnp.minimum(ks_interp, ks_j[-1]))
+    nz = ks_interp != 0.0
+    k_safe = jnp.where(nz, ks_interp, 1.0)
+    return jnp.where(nz, interp - 4.0 * np.pi * z / k_safe**2, interp)
+
+
+# ------------------------- structure factors & sums -------------------------
+
+def lattice_sum(box_vecs, shape, cart_ion_coords, f_tilde, order=None):
+    """F(r) = irfftn(S(q) f~(q)) / vol (parity: ion_utils.py:88-118)."""
+    if order is None:
+        S = structure_factor(box_vecs, shape, cart_ion_coords)
+    else:
+        if not (order % 2 == 0 and order >= 2):
+            raise ValueError("PME requires an even order >= 2")
+        S = structure_factor_spline(box_vecs, shape, cart_ion_coords, order)
+    return (jnp.fft.irfftn(S * f_tilde, shape, norm="forward")
+            / volume(box_vecs))
+
+
+def structure_factor(box_vecs, shape, cart_ion_coords):
+    """Exact O(N_grid * N_ions) structure factor S(q) = sum_i e^{-i q.r_i}
+    (parity: ion_utils.py:121-137)."""
+    kx, ky, kz, _ = wavevecs(box_vecs, shape)
+    kr = (kx[..., None] * cart_ion_coords[:, 0]
+          + ky[..., None] * cart_ion_coords[:, 1]
+          + kz[..., None] * cart_ion_coords[:, 2])
+    return jnp.sum(jnp.exp(-1j * kr), axis=-1)
+
+
+def cardinal_b_spline_values(x, order):
+    """[M_n(x + i) for i = 0..n-1] for x in [0, 1), by the stable recurrence
+    M_n[i] = ((x+i) M_{n-1}[i] + (n-x-i) M_{n-1}[i-1]) / (n-1).
+
+    Purely functional (autodiff-safe) — the reference needed a double-buffer
+    contraption to avoid in-place ops (ion_utils.py:140-204); in JAX the naive
+    recurrence is already immutable.
+    """
+    if order < 2:
+        raise ValueError("Requires order n >= 2")
+    zeros = jnp.zeros_like(x)
+    M = [x, 1.0 - x] + [zeros] * (order - 2)
+    for n in range(3, order + 1):
+        new = [None] * order
+        for i in range(n - 1, 0, -1):
+            new[i] = ((x + i) * M[i] + (n - x - i) * M[i - 1]) / (n - 1)
+        new[0] = x / (n - 1) * M[0]
+        for i in range(n, order):
+            new[i] = M[i]
+        M = new
+    return jnp.stack(M)
+
+
+def exponential_spline_b(m, N, order):
+    """Exponential-spline deconvolution factors b(m) (ion_utils.py:207-215)."""
+    zero = jnp.zeros_like(m)
+    M = cardinal_b_spline_values(zero, order)  # (order, len(m))
+    i = jnp.arange(order, dtype=m.dtype)[:, None]
+    b = jnp.sum(M * jnp.exp(1j * 2.0 * np.pi * m * (i - 1.0) / N), axis=0)
+    return jnp.exp(1j * 2.0 * np.pi * m * (order - 1.0) / N) / b
+
+
+def structure_factor_spline(box_vecs, shape, cart_ion_coords, order):
+    """Particle-Mesh Ewald structure factor via cardinal B-splines, with the
+    charge spreading as one fused scatter-add (parity: ion_utils.py:218-286)."""
+    N0, N1, N2 = shape
+    frac = cart_ion_coords @ jnp.linalg.inv(box_vecs)
+    # wrap into [0,1); done twice so values like -1e-16 -> 1.0 -> 0.0
+    frac = frac - jnp.floor(frac)
+    frac = frac - jnp.floor(frac)
+
+    u0 = frac[:, 0] * N0
+    u1 = frac[:, 1] * N1
+    u2 = frac[:, 2] * N2
+    f0 = jnp.floor(u0)
+    f1 = jnp.floor(u1)
+    f2 = jnp.floor(u2)
+
+    M0 = cardinal_b_spline_values(u0 - f0, order)  # (order, n_ions)
+    M1 = cardinal_b_spline_values(u1 - f1, order)
+    M2 = cardinal_b_spline_values(u2 - f2, order)
+
+    orders = jnp.arange(order)[:, None]
+    l0 = jnp.mod(orders - f0.astype(jnp.int32), N0)  # (order, n_ions)
+    l1 = jnp.mod(orders - f1.astype(jnp.int32), N1)
+    l2 = jnp.mod(orders - f2.astype(jnp.int32), N2)
+
+    # outer products over the three spline axes -> (order, order, order, n_ions)
+    w = (M0[:, None, None, :] * M1[None, :, None, :] * M2[None, None, :, :])
+    flat_idx = ((l0[:, None, None, :] * N1 + l1[None, :, None, :]) * N2
+                + l2[None, None, :, :])
+    Q = jnp.zeros(N0 * N1 * N2, dtype=w.dtype)
+    Q = Q.at[flat_idx.reshape(-1)].add(w.reshape(-1))
+    Q_ft = jnp.fft.rfftn(Q.reshape(shape))
+
+    dtype = cart_ion_coords.dtype
+    b0 = exponential_spline_b(jnp.arange(Q_ft.shape[0], dtype=dtype), N0, order)
+    b1 = exponential_spline_b(jnp.arange(Q_ft.shape[1], dtype=dtype), N1, order)
+    b2 = exponential_spline_b(jnp.arange(Q_ft.shape[2], dtype=dtype), N2, order)
+    B = b0[:, None, None] * b1[None, :, None] * b2[None, None, :]
+    return jnp.conj(B * Q_ft)
+
+
+# --------------------------- real-space ion-ion sum ---------------------------
+
+def neighbor_shifts(box_vecs, Rc):
+    """Static table of periodic-image shifts (in lattice units) covering a
+    sphere of radius Rc.  Host-side numpy from a CONCRETE cell; replaces the
+    torch-nl neighbor list (ion_utils.py:313-316)."""
+    bv = np.asarray(box_vecs, dtype=np.float64)
+    # interplanar spacings h_i = 1 / |row_i of inv(bv)^T|
+    inv_T = np.linalg.inv(bv.T)
+    h = 1.0 / np.sqrt(np.sum(inv_T**2, axis=1))
+    n = np.ceil(float(Rc) / h).astype(int) + 1
+    grids = np.meshgrid(*(np.arange(-ni, ni + 1) for ni in n), indexing="ij")
+    shifts = np.stack([g.reshape(-1) for g in grids], axis=1).astype(np.float64)
+    # keep only images whose closest approach to the home cell can be < Rc:
+    # distance between cell centers minus cell diameter is a safe lower bound
+    centers = shifts @ bv
+    diam = np.sqrt(3.0) * np.max(np.linalg.norm(bv, axis=1))
+    keep = np.linalg.norm(centers, axis=1) <= float(Rc) + diam
+    return shifts[keep]
+
+
+def ion_interaction_sum(box_vecs, coords, charges, Rc, Rd, shifts=None,
+                        chunk=256):
+    """Real-space damped pairwise electrostatic sum in a neutralizing
+    background (Witt et al., PRMaterials 2, 013806).
+
+    E = 1/2 sum_{i != j, |r_ij| < Rc} Z_i Z_j erfc(r_ij / Rd) / r_ij
+        + per-ion adaptive-radius correction terms.
+
+    Parity: ion_utils.py:293-333.  ``shifts`` (lattice-unit image table) may
+    be precomputed with ``neighbor_shifts`` for use under tracing; the energy
+    is differentiable w.r.t. ``coords`` and ``box_vecs``.
+    """
+    if shifts is None:
+        shifts = neighbor_shifts(box_vecs, Rc)
+    n_ions = coords.shape[0]
+    dtype = coords.dtype
+
+    # pad shift table to a multiple of the chunk size
+    n_shifts = shifts.shape[0]
+    n_pad = (-n_shifts) % chunk
+    shifts_padded = np.concatenate(
+        [np.asarray(shifts), np.zeros((n_pad, 3))], axis=0)
+    pad_mask = np.concatenate(
+        [np.ones(n_shifts, bool), np.zeros(n_pad, bool)])
+    shift_chunks = jnp.asarray(shifts_padded.reshape(-1, chunk, 3), dtype=dtype)
+    mask_chunks = jnp.asarray(pad_mask.reshape(-1, chunk))
+
+    Rc = jnp.asarray(Rc, dtype)
+    Rd = jnp.asarray(Rd, dtype)
+
+    def body(carry, args):
+        E_acc, Q_acc = carry
+        s_chunk, m_chunk = args
+        # r_vec[b, i, j] = R_j + s_b . h - R_i
+        disp = (coords[None, None, :, :] + (s_chunk @ box_vecs)[:, None, None, :]
+                - coords[None, :, None, :])
+        r2 = jnp.sum(disp * disp, axis=-1)
+        r = safe_sqrt(r2)
+        valid = (r < Rc) & (r > 1e-12) & m_chunk[:, None, None]
+        r_safe = jnp.where(valid, r, 1.0)
+        zz = charges[:, None] * charges[None, :]
+        pair_E = jnp.where(valid, zz * erfc(r_safe / Rd) / r_safe, 0.0)
+        E_acc = E_acc + 0.5 * jnp.sum(pair_E)
+        # neighbor-charge accumulation: Q_i += sum_{j, b} Z_j [valid]
+        Q_acc = Q_acc + jnp.sum(jnp.where(valid, charges[None, None, :], 0.0),
+                                axis=(0, 2))
+        return (E_acc, Q_acc), None
+
+    (E_local, Qi), _ = jax.lax.scan(
+        body, (jnp.zeros((), dtype), jnp.zeros(n_ions, dtype)),
+        (shift_chunks, mask_chunks))
+
+    rho = jnp.sum(charges) / volume(box_vecs)
+    aux = (0.75 / np.pi) * Qi / rho
+    Ra = jnp.sign(aux) * jnp.abs(aux) ** (1.0 / 3.0)
+    E_corr = jnp.sum(
+        -np.pi * charges * rho * Ra**2
+        + np.pi * charges * rho * (Ra**2 - 0.5 * Rd * Rd) * erf(Ra / Rd)
+        + np.sqrt(np.pi) * charges * rho * Ra * Rd * jnp.exp(-Ra**2 / Rd**2)
+        - charges**2 / np.sqrt(np.pi) / Rd)
+    return E_local + E_corr

@@ -1,0 +1,105 @@
+"""Exchange-correlation functionals: LDA (PZ / PW / Chachiyo) and PBE.
+
+TPU-native rebuild of /root/reference/src/professad/functionals.py:1510-1635.
+Pure jittable E(box_vecs, den) functions; singular denominators are guarded
+with the same epsilons as the reference so that results (and gradients) match
+to 1e-10.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.grid import wavevecs, volume, grad_dot_grad, reduced_gradient_squared
+
+__all__ = [
+    "lda_exchange", "perdew_zunger_correlation", "perdew_wang_correlation",
+    "chachiyo_correlation", "PerdewZunger", "PerdewWang", "Chachiyo",
+    "pbe_exchange", "pbe_correlation", "PerdewBurkeErnzerhof",
+]
+
+
+def lda_exchange(box_vecs, den):
+    """Dirac LDA exchange (parity: functionals.py:1510-1512)."""
+    return (-(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0)
+            * jnp.mean(den ** (4.0 / 3.0)) * volume(box_vecs))
+
+
+def perdew_zunger_correlation(box_vecs, den):
+    """PZ81 correlation (parity: functionals.py:1515-1521)."""
+    gamma, beta1, beta2 = -0.1423, 1.0529, 0.3334
+    A, B, C, D = 0.0311, -0.048, 0.002, -0.0116
+    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    log_rs = jnp.log(rs)
+    eps_hi = A * log_rs + B + C * rs * log_rs + D * rs
+    eps_lo = gamma / (1.0 + beta1 * jnp.sqrt(rs) + beta2 * rs)
+    eps_c = jnp.where(rs < 1.0, eps_hi, eps_lo)
+    return jnp.mean(eps_c * den) * volume(box_vecs)
+
+
+def _pw92_eps(rs):
+    A, alpha = 0.0310907, 0.2137
+    b1, b2, b3, b4 = 7.5957, 3.5876, 1.6382, 0.49294
+    srs = jnp.sqrt(rs)
+    zeta = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
+    return -2.0 * A * (1.0 + alpha * rs) * jnp.log(1.0 + 1.0 / zeta)
+
+
+def perdew_wang_correlation(box_vecs, den):
+    """PW92 correlation (parity: functionals.py:1524-1530)."""
+    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    return jnp.mean(_pw92_eps(rs) * den) * volume(box_vecs)
+
+
+def chachiyo_correlation(box_vecs, den):
+    """Chachiyo 2016 correlation (parity: functionals.py:1533-1537)."""
+    a = (np.log(2.0) - 1.0) / (2.0 * np.pi**2)
+    b = 20.4562557
+    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    eps_c = a * jnp.log(1.0 + b / rs + b / rs**2)
+    return jnp.mean(eps_c * den) * volume(box_vecs)
+
+
+def PerdewZunger(box_vecs, den):
+    """LDA XC: Dirac exchange + PZ81 correlation (functionals.py:1540-1554)."""
+    return lda_exchange(box_vecs, den) + perdew_zunger_correlation(box_vecs, den)
+
+
+def PerdewWang(box_vecs, den):
+    """LDA XC: Dirac exchange + PW92 correlation (functionals.py:1557-1571)."""
+    return lda_exchange(box_vecs, den) + perdew_wang_correlation(box_vecs, den)
+
+
+def Chachiyo(box_vecs, den):
+    """LDA XC: Dirac exchange + Chachiyo correlation (functionals.py:1574-1588)."""
+    return lda_exchange(box_vecs, den) + chachiyo_correlation(box_vecs, den)
+
+
+def pbe_exchange(box_vecs, den):
+    """PBE exchange (parity: functionals.py:1597-1603)."""
+    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+    eps_x = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * den ** (4.0 / 3.0)
+    s2 = reduced_gradient_squared(kx, ky, kz, den)
+    kappa = 0.804
+    mu = 0.066725 * np.pi**2 / 3.0
+    Fx = 1.0 + kappa - kappa / (1.0 + mu / kappa * s2)
+    return jnp.mean(Fx * eps_x) * volume(box_vecs)
+
+
+def pbe_correlation(box_vecs, den):
+    """PBE correlation (parity: functionals.py:1606-1618, incl. 1e-30 guards)."""
+    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    eps_c = _pw92_eps(rs)
+    beta = 0.066725
+    gamma = (1.0 - np.log(2.0)) / np.pi**2
+    A = beta / gamma / (jnp.exp(-eps_c / gamma) - 1.0 + 1e-30)
+    t2 = ((1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0)
+          * grad_dot_grad(kx, ky, kz, den) / (den ** (7.0 / 3.0) + 1e-30))
+    At2 = A * t2
+    H = gamma * jnp.log(1.0 + beta / gamma * t2 * (1.0 + At2) / (1.0 + At2 + At2 * At2))
+    return jnp.mean((eps_c + H) * den) * volume(box_vecs)
+
+
+def PerdewBurkeErnzerhof(box_vecs, den):
+    """PBE XC (parity: functionals.py:1621-1635)."""
+    return pbe_exchange(box_vecs, den) + pbe_correlation(box_vecs, den)

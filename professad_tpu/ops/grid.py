@@ -1,0 +1,136 @@
+"""Reciprocal-space grid math: wavevectors, FFT derivatives, density descriptors.
+
+TPU-native rebuild of the reference L1 layer
+(/root/reference/src/professad/functional_tools.py:135-287).
+
+Design notes (TPU/XLA-first):
+
+* ``wavevecs`` is a pure, traced function of ``box_vecs`` so stresses flow
+  through the k-vectors by autodiff (the integer frequency index tables are
+  host-side numpy constants baked into the jaxpr; only the reciprocal-lattice
+  matrix ``b`` is traced).  Under ``jit`` every duplicate ``wavevecs`` call
+  across energy terms is removed by XLA CSE, so — unlike the reference, which
+  pays a Python re-build per closure evaluation — recomputation is free.
+* All masked/singular expressions use the double-``where`` idiom so that
+  gradients are NaN-free (JAX cannot trace boolean indexing; reference used
+  ``k2[k2 != 0]`` style masking, e.g. functional_tools.py:247-248).
+* Everything is dtype-polymorphic: float64 for the correctness tier (CPU) and
+  float32 for the TPU fast path (TPU FFT has no f64 kernel).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "wavevecs", "wavenumbers", "grad_i", "grad_dot_grad", "laplacian",
+    "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
+    "safe_sqrt", "volume", "rfft_shape",
+]
+
+
+def rfft_shape(shape):
+    """Shape of the half-spectrum rfftn output for a real grid of ``shape``."""
+    return (*shape[:-1], shape[-1] // 2 + 1)
+
+
+def volume(box_vecs):
+    """Cell volume |det h| (rows of ``box_vecs`` are lattice vectors)."""
+    return jnp.abs(jnp.linalg.det(box_vecs))
+
+
+def _freq_indices(shape):
+    """Integer FFT frequency index tables matching rfftn layout.
+
+    The Nyquist index of the two full axes is sign-flipped to +n/2 for even
+    lengths so that stress autodiff is consistent (parity:
+    functional_tools.py:152-155).  Host-side numpy: static per grid shape.
+    """
+    n0, n1, n2 = shape
+    j0 = np.fft.fftfreq(n0) * n0
+    j1 = np.fft.fftfreq(n1) * n1
+    j0[n0 // 2] = abs(j0[n0 // 2])
+    j1[n1 // 2] = abs(j1[n1 // 2])
+    j2 = np.fft.rfftfreq(n2) * n2
+    return (
+        j0.reshape(-1, 1, 1),
+        j1.reshape(1, -1, 1),
+        j2.reshape(1, 1, -1),
+    )
+
+
+def wavevecs(box_vecs, shape):
+    """Wavevectors kx, ky, kz, k2 consistent with ``rfftn`` layout.
+
+    Differentiable w.r.t. ``box_vecs`` — this is how stress flows through
+    every FFT-based term (parity: functional_tools.py:135-162).
+    """
+    dtype = box_vecs.dtype
+    b = 2.0 * jnp.pi * jnp.linalg.inv(box_vecs.T)  # reciprocal lattice rows
+    nA, nB, nC = _freq_indices(shape)
+    nA = jnp.asarray(nA, dtype)
+    nB = jnp.asarray(nB, dtype)
+    nC = jnp.asarray(nC, dtype)
+    kx = nA * b[0, 0] + nB * b[1, 0] + nC * b[2, 0]
+    ky = nA * b[0, 1] + nB * b[1, 1] + nC * b[2, 1]
+    kz = nA * b[0, 2] + nB * b[1, 2] + nC * b[2, 2]
+    k2 = kx * kx + ky * ky + kz * kz
+    return kx, ky, kz, k2
+
+
+def safe_sqrt(x):
+    """NaN-free-gradient sqrt: 0 where x <= 0 (double-where idiom)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def wavenumbers(box_vecs, shape):
+    """|k| on the half-spectrum grid, zero-safe at the origin."""
+    _, _, _, k2 = wavevecs(box_vecs, shape)
+    return safe_sqrt(k2)
+
+
+# ----------------------------- FFT derivatives -----------------------------
+
+def grad_i(ki, f):
+    """Spectral partial derivative df/dr_i (parity: functional_tools.py:166-183)."""
+    return jnp.fft.irfftn(1j * ki * jnp.fft.rfftn(f), f.shape)
+
+
+def grad_dot_grad(kx, ky, kz, f):
+    """|grad f|^2 via three spectral derivatives (functional_tools.py:186-206)."""
+    f_ft = jnp.fft.rfftn(f)
+    gx = jnp.fft.irfftn(1j * kx * f_ft, f.shape)
+    gy = jnp.fft.irfftn(1j * ky * f_ft, f.shape)
+    gz = jnp.fft.irfftn(1j * kz * f_ft, f.shape)
+    return gx * gx + gy * gy + gz * gz
+
+
+def laplacian(k2, f):
+    """Spectral Laplacian (parity: functional_tools.py:209-227)."""
+    return jnp.fft.irfftn(-k2 * jnp.fft.rfftn(f), f.shape)
+
+
+# ---------------------------- density descriptors ---------------------------
+
+_CS = lambda: None  # placeholder to keep constants local
+
+def reduced_gradient(kx, ky, kz, den):
+    """s = |grad n| / (2 (3 pi^2)^{1/3} n^{4/3}) (functional_tools.py:230-249)."""
+    gdg = grad_dot_grad(kx, ky, kz, den)
+    abs_grad = safe_sqrt(gdg)
+    return 0.5 * (3.0 * np.pi**2) ** (-1.0 / 3.0) * abs_grad * den ** (-4.0 / 3.0)
+
+
+def reduced_gradient_squared(kx, ky, kz, den):
+    """s^2 = |grad n|^2 / (4 (3 pi^2)^{2/3} n^{8/3}) (functional_tools.py:252-268)."""
+    return (0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+            * grad_dot_grad(kx, ky, kz, den) * den ** (-8.0 / 3.0))
+
+
+def reduced_laplacian(k2, den):
+    """q = lap n / (4 (3 pi^2)^{2/3} n^{5/3}) (functional_tools.py:271-287)."""
+    return (0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+            * laplacian(k2, den) * den ** (-5.0 / 3.0))

@@ -1,0 +1,92 @@
+"""Differentiable cubic Hermite interpolation (1-D table -> N-D queries).
+
+TPU-native rebuild of /root/reference/src/professad/functional_tools.py:292-378.
+Instead of the reference's rank-expanded basis-matrix contraction we evaluate
+the four Hermite basis polynomials directly (Horner form) — fully fused by XLA
+and NaN-free under autodiff.  Gathers are `take`/`take_along_axis`, which XLA
+lowers to efficient dynamic-gather on TPU.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["interpolate", "interpolate_kernel"]
+
+
+def _hermite_weights(t):
+    """Hermite basis h00, h10, h01, h11 at parameter t in [0, 1]."""
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 1.0 - 3.0 * t2 + 2.0 * t3
+    h10 = t - 2.0 * t2 + t3
+    h01 = 3.0 * t2 - 2.0 * t3
+    h11 = t3 - t2
+    return h00, h10, h01, h11
+
+
+def _tangents(x, y, axis=-1):
+    """Catmull-Rom-style tangents: secant slopes, averaged at interior knots
+    (parity: functional_tools.py:309-310)."""
+    m = (jnp.diff(y, axis=axis)) / jnp.diff(x, axis=axis)
+    first = jnp.take(m, jnp.array([0]), axis=axis)
+    last = jnp.take(m, jnp.array([m.shape[axis] - 1]), axis=axis)
+    n = m.shape[axis]
+    inner = 0.5 * (jnp.take(m, jnp.arange(1, n), axis=axis)
+                   + jnp.take(m, jnp.arange(0, n - 1), axis=axis))
+    return jnp.concatenate([first, inner, last], axis=axis)
+
+
+def interpolate(x, y, xs):
+    """Cubic Hermite spline evaluation of the table y(x) at query points xs.
+
+    Args:
+      x, y: 1-D knot arrays (x strictly increasing).
+      xs:   query array of any shape; values must lie within [x[0], x[-1]]
+            (callers clamp with ``jnp.minimum(xs, x[-1])`` as in the reference).
+
+    Returns:
+      Interpolated values with the shape of ``xs``.
+
+    Parity: functional_tools.py:292-334.
+    """
+    m = _tangents(x, y)
+    idx = jnp.clip(jnp.searchsorted(x[1:], xs, side="left"), 0, x.shape[0] - 2)
+    x0 = x[idx]
+    dx = x[idx + 1] - x0
+    t = (xs - x0) / dx
+    h00, h10, h01, h11 = _hermite_weights(t)
+    return h00 * y[idx] + h10 * m[idx] * dx + h01 * y[idx + 1] + h11 * m[idx + 1] * dx
+
+
+def interpolate_kernel(xi_sparse, f, xis):
+    """Interpolate f(x,y,z,xi_i) slabs onto a spatially varying field xi(x,y,z).
+
+    Args:
+      xi_sparse: (n_xi,) ladder of xi values (increasing).
+      f:         (n1, n2, n3, n_xi) slab stack, f evaluated at each xi_i.
+      xis:       (n1, n2, n3) the spatially varying xi(r).
+
+    Returns:
+      (n1, n2, n3) array f(x, y, z, xi(r)).
+
+    Parity: functional_tools.py:337-378.
+    """
+    dxi = jnp.diff(xi_sparse)
+    m = jnp.diff(f, axis=-1) / dxi
+    first = m[..., :1]
+    last = m[..., -1:]
+    inner = 0.5 * (m[..., 1:] + m[..., :-1])
+    m = jnp.concatenate([first, inner, last], axis=-1)
+
+    idx = jnp.clip(jnp.searchsorted(xi_sparse[1:], xis, side="left"),
+                   0, xi_sparse.shape[0] - 2)
+    x0 = xi_sparse[idx]
+    dx = xi_sparse[idx + 1] - x0
+    t = (xis - x0) / dx
+    h00, h10, h01, h11 = _hermite_weights(t)
+
+    idx_e = idx[..., None]
+    f0 = jnp.take_along_axis(f, idx_e, axis=-1)[..., 0]
+    f1 = jnp.take_along_axis(f, idx_e + 1, axis=-1)[..., 0]
+    m0 = jnp.take_along_axis(m, idx_e, axis=-1)[..., 0]
+    m1 = jnp.take_along_axis(m, idx_e + 1, axis=-1)[..., 0]
+    return h00 * f0 + h10 * m0 * dx + h01 * f1 + h11 * m1 * dx
