@@ -26,5 +26,8 @@ from .ops.interp import interpolate, interpolate_kernel
 from .ops.fieldconv import field_dependent_convolution, xi_ladder
 from .ops.autodiff import (get_functional_derivative, get_inv_G, get_stress,
                            get_pressure)
+from .system import System
+from .utils.crystal import get_cell
+from .utils.elastic import fit_eos
 
 __version__ = "0.1.0"

@@ -34,6 +34,13 @@ def get_inv_G(box_vecs, den, kinetic_functional):
     n0 = jnp.full(den.shape, N_elec / vol, dtype=den.dtype)
     k_F = (3.0 * np.pi**2 * N_elec / vol) ** (1.0 / 3.0)
 
+    # functionals with data-dependent kernels (Yukawa/HC/MGP) cache a static
+    # ladder from the concrete uniform density before we trace the grads
+    owner = getattr(kinetic_functional, "__self__", kinetic_functional)
+    prep = getattr(owner, "prepare", None)
+    if callable(prep):
+        prep(box_vecs, n0)
+
     def dTdn_000(n):
         g = jax.grad(lambda m: kinetic_functional(box_vecs, m))(n)
         return (g / (vol / n.size))[0, 0, 0]

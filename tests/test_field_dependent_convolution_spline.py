@@ -1,0 +1,46 @@
+"""Spline field-dependent convolution vs naive per-point convolution at
+atol 1e-10 (parity: /root/reference/tests/test_field_dependent_convolution_spline.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from professad_tpu.ops.fieldconv import field_dependent_convolution
+from professad_tpu.ops.grid import wavevecs
+
+
+def test_spline():
+    shape = (20, 20, 20)
+    box_vecs = 2 * jnp.eye(3)
+
+    xf, yf, zf = np.meshgrid(*(np.arange(s) / s for s in shape), indexing="ij")
+    bv = np.asarray(box_vecs)
+    x = bv[0, 0] * xf + bv[1, 0] * yf + bv[2, 0] * zf
+    y = bv[0, 1] * xf + bv[1, 1] * yf + bv[2, 1] * zf
+    z = bv[0, 2] * xf + bv[1, 2] * yf + bv[2, 2] * zf
+    r = np.sqrt(x * x + y * y + z * z)
+
+    _, _, _, k2 = wavevecs(box_vecs, shape)
+
+    def K_tilde(k2_, xi_sparse):
+        return 4 * np.pi / (k2_[..., None] + xi_sparse**2)
+
+    xis = jnp.cos(jnp.asarray(r)) ** 2 + 1
+    g = xis ** (1 / 3)
+    u_spline = field_dependent_convolution(k2, K_tilde, g, xis, kappa=0.01)
+
+    # naive reference: one convolution per grid point's xi value, vectorized
+    # in batches over unique evaluation (still O(N^2 log N) work)
+    g_ft = jnp.fft.rfftn(g)
+    xis_flat = np.asarray(xis).reshape(-1)
+    u_naive = np.empty(xis_flat.size)
+
+    batch = 50
+    for start in range(0, xis_flat.size, batch):
+        xi_b = jnp.asarray(xis_flat[start:start + batch])
+        K = 4 * np.pi / (k2[None, ...] + xi_b[:, None, None, None] ** 2)
+        conv = jnp.fft.irfftn(K * g_ft[None, ...], s=shape, axes=(1, 2, 3))
+        conv_flat = np.asarray(conv).reshape(xi_b.size, -1)
+        for bi in range(xi_b.size):
+            u_naive[start + bi] = conv_flat[bi, start + bi]
+
+    assert np.allclose(np.asarray(u_spline).reshape(-1), u_naive, atol=1e-10)

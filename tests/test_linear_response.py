@@ -1,0 +1,69 @@
+"""Autograd linear response vs closed-form Lindhard / gapped-jellium /
+Yukawa G^{-1}(eta) (parity: /root/reference/tests/test_linear_response.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from professad_tpu.models import (G_inv_lindhard, WangTeter, G_inv_gap, KGAP,
+                                  YukawaGGA)
+from professad_tpu.ops.autodiff import get_inv_G
+
+
+def test_linear_response():
+    shape = (61, 61, 61)
+    box_vecs = 8 * jnp.eye(3)
+    den = jnp.ones(shape)
+
+    # Wang-Teter reproduces the Lindhard response
+    eta, G_inv_lind = G_inv_lindhard(box_vecs, den)
+    eta, G_inv_WT = get_inv_G(box_vecs, den, WangTeter)
+    assert np.allclose(np.asarray(G_inv_WT), np.asarray(G_inv_lind),
+                       atol=1e-10)
+
+    # KGAP reproduces the gapped-jellium response
+    E_gap = 1.17
+    eta, G_inv_KGAP = get_inv_G(box_vecs, den,
+                                lambda bv, n: KGAP(bv, n, E_gap))
+    eta, G_inv_jgap = G_inv_gap(box_vecs, den, E_gap)
+    nz = np.asarray(eta) != 0
+    assert np.allclose(np.asarray(G_inv_KGAP)[nz], np.asarray(G_inv_jgap)[nz],
+                       atol=1e-10)
+
+
+def test_linear_response_yukawa():
+    shape = (61, 61, 61)
+    box_vecs = 8 * jnp.eye(3)
+    den = jnp.ones(shape)
+
+    yGGA = YukawaGGA()
+    yGGA.mode = "arithmetic"
+    yGGA.kappa = 0.001
+    yGGA.set_yuk1()
+    eta, G_inv_yuk1 = get_inv_G(box_vecs, den, yGGA.forward)
+    eta = jnp.asarray(eta)
+    G_inv_yuk1_th = 1 / (3 * eta**2 + (-16 * eta**4 + 40 * eta**2 + 5)
+                         / (80 * eta**4 + 40 * eta**2 + 5))
+    # spline method's accuracy decreases for higher derivatives
+    assert np.allclose(np.asarray(G_inv_yuk1), np.asarray(G_inv_yuk1_th),
+                       atol=1e-3)
+
+    alpha = 1.3629
+    G_inv_yuk2_th = 1 / (3 * eta**2 + ((-160 / 3 * alpha**2 - 16) * eta**4
+                                       + (-40 / 3 * alpha**4 + 40 * alpha**2) * eta**2
+                                       + 5 * alpha**4)
+                         / (80 * eta**4 + 40 * eta**2 * alpha**2 + 5 * alpha**4))
+
+    yGGA.set_yuk2()
+    _, G_inv_yuk2 = get_inv_G(box_vecs, den, yGGA.forward)
+    assert np.allclose(np.asarray(G_inv_yuk2), np.asarray(G_inv_yuk2_th),
+                       atol=1e-3)
+
+    yGGA.set_yuk3()
+    _, G_inv_yuk3 = get_inv_G(box_vecs, den, yGGA.forward)
+    assert np.allclose(np.asarray(G_inv_yuk3), np.asarray(G_inv_yuk2_th),
+                       atol=1e-3)
+
+    yGGA.set_yuk4()
+    _, G_inv_yuk4 = get_inv_G(box_vecs, den, yGGA.forward)
+    assert np.allclose(np.asarray(G_inv_yuk4), np.asarray(G_inv_yuk2_th),
+                       atol=1e-3)
