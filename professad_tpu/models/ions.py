@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf, erfc
 
-from ..ops.grid import wavevecs, volume, safe_sqrt
+from ..ops.grid import wavevecs, volume, safe_sqrt, inv3x3, expi
 from ..ops.interp import interpolate
 from ..utils.constants import RECPOT_BOHR, RECPOT_POT_CONV
 
@@ -100,7 +100,7 @@ def structure_factor(box_vecs, shape, cart_ion_coords):
     kr = (kx[..., None] * cart_ion_coords[:, 0]
           + ky[..., None] * cart_ion_coords[:, 1]
           + kz[..., None] * cart_ion_coords[:, 2])
-    return jnp.sum(jnp.exp(-1j * kr), axis=-1)
+    return jnp.sum(expi(-kr), axis=-1)
 
 
 def cardinal_b_spline_values(x, order):
@@ -131,15 +131,15 @@ def exponential_spline_b(m, N, order):
     zero = jnp.zeros_like(m)
     M = cardinal_b_spline_values(zero, order)  # (order, len(m))
     i = jnp.arange(order, dtype=m.dtype)[:, None]
-    b = jnp.sum(M * jnp.exp(1j * 2.0 * np.pi * m * (i - 1.0) / N), axis=0)
-    return jnp.exp(1j * 2.0 * np.pi * m * (order - 1.0) / N) / b
+    b = jnp.sum(M * expi(2.0 * np.pi * m * (i - 1.0) / N), axis=0)
+    return expi(2.0 * np.pi * m * (order - 1.0) / N) / b
 
 
 def structure_factor_spline(box_vecs, shape, cart_ion_coords, order):
     """Particle-Mesh Ewald structure factor via cardinal B-splines, with the
     charge spreading as one fused scatter-add (parity: ion_utils.py:218-286)."""
     N0, N1, N2 = shape
-    frac = cart_ion_coords @ jnp.linalg.inv(box_vecs)
+    frac = cart_ion_coords @ inv3x3(box_vecs)
     # wrap into [0,1); done twice so values like -1e-16 -> 1.0 -> 0.0
     frac = frac - jnp.floor(frac)
     frac = frac - jnp.floor(frac)
@@ -252,9 +252,10 @@ def ion_interaction_sum(box_vecs, coords, charges, Rc, Rd, shifts=None,
     rho = jnp.sum(charges) / volume(box_vecs)
     aux = (0.75 / np.pi) * Qi / rho
     Ra = jnp.sign(aux) * jnp.abs(aux) ** (1.0 / 3.0)
+    sqrt_pi = float(np.sqrt(np.pi))  # plain float: keeps f32 weak-typing
     E_corr = jnp.sum(
         -np.pi * charges * rho * Ra**2
         + np.pi * charges * rho * (Ra**2 - 0.5 * Rd * Rd) * erf(Ra / Rd)
-        + np.sqrt(np.pi) * charges * rho * Ra * Rd * jnp.exp(-Ra**2 / Rd**2)
-        - charges**2 / np.sqrt(np.pi) / Rd)
+        + sqrt_pi * charges * rho * Ra * Rd * jnp.exp(-Ra**2 / Rd**2)
+        - charges**2 / sqrt_pi / Rd)
     return E_local + E_corr

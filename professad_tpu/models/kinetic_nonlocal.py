@@ -111,8 +111,8 @@ def WangGovindCarter98(box_vecs, den):
     """WGC98: (alpha, beta) = ((5 +/- sqrt5)/6) (parity: functionals.py:710-725)."""
     return (Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den)
             + non_local_KEF(box_vecs, den,
-                            (5.0 + np.sqrt(5.0)) / 6.0,
-                            (5.0 - np.sqrt(5.0)) / 6.0))
+                            float(5.0 + np.sqrt(5.0)) / 6.0,
+                            float(5.0 - np.sqrt(5.0)) / 6.0))
 
 
 class WangTeterStyleFunctional(KineticFunctional):
@@ -207,14 +207,14 @@ def _wgc99_kernel(eta, alpha, beta, gamma, num_terms=100):
     Ss = float(-2.0 * np.sum(i * (auxA + auxB)))
 
     if v > 0:
-        c1 = np.sign(u) * ((np.sqrt(v) - u) * Sd + Ss)
-        c2 = np.sign(u) * ((np.sqrt(v) + u) * Sd - Ss) / (2.0 * np.sqrt(v))
+        c1 = float(np.sign(u) * ((np.sqrt(v) - u) * Sd + Ss))
+        c2 = float(np.sign(u) * ((np.sqrt(v) + u) * Sd - Ss) / (2.0 * np.sqrt(v)))
     elif v == 0:
-        c1 = np.sign(u) * Sd
-        c2 = np.sign(u) * (Ss - u * Sd)
+        c1 = float(np.sign(u) * Sd)
+        c2 = float(np.sign(u) * (Ss - u * Sd))
     else:
-        c1 = np.sign(u) * Sd
-        c2 = np.sign(u) * (Ss - u * Sd) / np.sqrt(-v)
+        c1 = float(np.sign(u) * Sd)
+        c2 = float(np.sign(u) * (Ss - u * Sd) / np.sqrt(-v))
 
     leq1 = eta <= 1.0
     inner = c1 if u >= 0 else 0.0
@@ -229,8 +229,8 @@ def _wgc99_kernel(eta, alpha, beta, gamma, num_terms=100):
 
     # homogeneous solution
     if v > 0:
-        x = u + np.sqrt(v)
-        y = u - np.sqrt(v)
+        x = float(u + np.sqrt(v))
+        y = float(u - np.sqrt(v))
         H0 = C1 * e**x + C2 * e**y
         H1 = C1 * x * e**(x - 1) + C2 * y * e**(y - 1)
         H2 = C1 * x * (x - 1) * e**(x - 2) + C2 * y * (y - 1) * e**(y - 2)
@@ -241,7 +241,7 @@ def _wgc99_kernel(eta, alpha, beta, gamma, num_terms=100):
         H2 = (C2 * ((u - 1) * e**(u - 2) * (1 + u * ln) + e**(u - 2))
               + C1 * u * (u - 1) * e**(u - 2))
     else:
-        sqrtv = np.sqrt(-v)
+        sqrtv = float(np.sqrt(-v))
         ln = jnp.log(e)
         tc = jnp.cos(sqrtv * ln)
         ts = jnp.sin(sqrtv * ln)
@@ -477,8 +477,8 @@ def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
 
     b = 5.0
     fraction = E_gap * E_gap / (b + E_gap * E_gap)
-    alpha = 0.5 + ((5.0 + np.sqrt(5.0)) / 6.0 - 0.5) * fraction
-    beta = 0.5 + ((5.0 - np.sqrt(5.0)) / 6.0 - 0.5) * fraction
+    alpha = 0.5 + (float(5.0 + np.sqrt(5.0)) / 6.0 - 0.5) * fraction
+    beta = 0.5 + (float(5.0 - np.sqrt(5.0)) / 6.0 - 0.5) * fraction
 
     vol = volume(box_vecs)
     N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))

@@ -52,7 +52,7 @@ def perdew_wang_correlation(box_vecs, den):
 
 def chachiyo_correlation(box_vecs, den):
     """Chachiyo 2016 correlation (parity: functionals.py:1533-1537)."""
-    a = (np.log(2.0) - 1.0) / (2.0 * np.pi**2)
+    a = float(np.log(2.0) - 1.0) / (2.0 * np.pi**2)  # plain float: keeps f32 weak-typing
     b = 20.4562557
     rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
     eps_c = a * jnp.log(1.0 + b / rs + b / rs**2)
@@ -91,7 +91,7 @@ def pbe_correlation(box_vecs, den):
     rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
     eps_c = _pw92_eps(rs)
     beta = 0.066725
-    gamma = (1.0 - np.log(2.0)) / np.pi**2
+    gamma = float(1.0 - np.log(2.0)) / np.pi**2  # plain float: keeps f32 weak-typing
     A = beta / gamma / (jnp.exp(-eps_c / gamma) - 1.0 + 1e-30)
     t2 = ((1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0)
           * grad_dot_grad(kx, ky, kz, den) / (den ** (7.0 / 3.0) + 1e-30))

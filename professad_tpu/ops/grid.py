@@ -27,8 +27,34 @@ import jax.numpy as jnp
 __all__ = [
     "wavevecs", "wavenumbers", "grad_i", "grad_dot_grad", "laplacian",
     "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
-    "safe_sqrt", "volume", "rfft_shape",
+    "safe_sqrt", "volume", "rfft_shape", "inv3x3", "imul", "expi",
 ]
+
+
+def inv3x3(m):
+    """Analytic 3x3 matrix inverse via the adjugate.
+
+    TPU note: XLA:TPU's LuDecomposition supports only f32, so
+    ``jnp.linalg.inv`` breaks the f64 path on device; the closed form is
+    dtype-polymorphic, cheaper, and cleanly differentiable.
+    """
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([jnp.stack([A, B, C]),
+                     jnp.stack([D, E, F]),
+                     jnp.stack([G, H, I])])
+    return adj / det
 
 
 def rfft_shape(shape):
@@ -68,7 +94,7 @@ def wavevecs(box_vecs, shape):
     every FFT-based term (parity: functional_tools.py:135-162).
     """
     dtype = box_vecs.dtype
-    b = 2.0 * jnp.pi * jnp.linalg.inv(box_vecs.T)  # reciprocal lattice rows
+    b = 2.0 * jnp.pi * inv3x3(box_vecs.T)  # reciprocal lattice rows
     nA, nB, nC = _freq_indices(shape)
     nA = jnp.asarray(nA, dtype)
     nB = jnp.asarray(nB, dtype)
@@ -78,6 +104,22 @@ def wavevecs(box_vecs, shape):
     kz = nA * b[0, 2] + nB * b[1, 2] + nC * b[2, 2]
     k2 = kx * kx + ky * ky + kz * kz
     return kx, ky, kz, k2
+
+
+def imul(k, ft):
+    """(i k) * ft for real k and complex ft, in real arithmetic.
+
+    Avoids Python ``1j`` literals, which materialize complex128 constants
+    under x64 — TPU supports C64 only.  Also cheaper than a general complex
+    multiply (2 real multiplies instead of 4).
+    """
+    return jax.lax.complex(-k * jnp.imag(ft), k * jnp.real(ft))
+
+
+def expi(theta):
+    """e^{i theta} for real theta, as lax.complex(cos, sin) (C64-safe, see
+    ``imul``)."""
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 
 def safe_sqrt(x):
@@ -96,15 +138,15 @@ def wavenumbers(box_vecs, shape):
 
 def grad_i(ki, f):
     """Spectral partial derivative df/dr_i (parity: functional_tools.py:166-183)."""
-    return jnp.fft.irfftn(1j * ki * jnp.fft.rfftn(f), f.shape)
+    return jnp.fft.irfftn(imul(ki, jnp.fft.rfftn(f)), f.shape)
 
 
 def grad_dot_grad(kx, ky, kz, f):
     """|grad f|^2 via three spectral derivatives (functional_tools.py:186-206)."""
     f_ft = jnp.fft.rfftn(f)
-    gx = jnp.fft.irfftn(1j * kx * f_ft, f.shape)
-    gy = jnp.fft.irfftn(1j * ky * f_ft, f.shape)
-    gz = jnp.fft.irfftn(1j * kz * f_ft, f.shape)
+    gx = jnp.fft.irfftn(imul(kx, f_ft), f.shape)
+    gy = jnp.fft.irfftn(imul(ky, f_ft), f.shape)
+    gz = jnp.fft.irfftn(imul(kz, f_ft), f.shape)
     return gx * gx + gy * gy + gz * gz
 
 

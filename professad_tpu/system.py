@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.grid import wavevecs, volume, safe_sqrt
+from .ops.grid import wavevecs, volume, safe_sqrt, inv3x3
 from .ops.interp import interpolate
 from .ops import solvers
 from .ops.implicit import implicit_ground_state
@@ -125,7 +125,7 @@ class System:
         ion_coords = jnp.asarray(ion_coords, dtype=jnp.float64)
         if coord_type == "cartesian":
             ion_coords = ion_coords / self._unit_factor(units)
-            frac = ion_coords @ jnp.linalg.inv(self._box_vecs)
+            frac = ion_coords @ inv3x3(self._box_vecs)
         elif coord_type == "fractional":
             frac = ion_coords
         else:
@@ -286,7 +286,7 @@ class System:
 
     def _density_terms_energy(self, box_vecs, den, v_ext):
         """Sum of all density-dependent terms (ion-ion excluded)."""
-        E = jnp.zeros((), dtype=jnp.float64)
+        E = jnp.zeros((), dtype=den.dtype)
         for f in self._terms:
             nm = _term_name(f)
             if nm == "IonElectron":

@@ -65,7 +65,8 @@ def voigt_moduli(C):
 def reuss_moduli(C):
     """Reuss bulk and shear moduli via the compliance matrix S = C^{-1}
     (parity: elastic_tools.py:101-122)."""
-    S = jnp.linalg.inv(jnp.asarray(C))
+    # host-side numpy: 6x6 inverse (jnp.linalg.inv has no f64 TPU kernel)
+    S = np.linalg.inv(np.asarray(C))
     K = 1.0 / ((S[0, 0] + S[1, 1] + S[2, 2]) + 2 * (S[0, 1] + S[1, 2] + S[0, 2]))
     G = 15.0 / (4 * (S[0, 0] + S[1, 1] + S[2, 2])
                 - 4 * (S[0, 1] + S[1, 2] + S[0, 2])
