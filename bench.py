@@ -51,6 +51,15 @@ def build_system(shape):
 
 def main():
     import jax
+
+    # persistent compilation cache: the axon remote-compile path is slow
+    # (minutes per executable); cache hits make reruns start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
     from professad_tpu.ops import solvers
 

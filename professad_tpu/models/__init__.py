@@ -14,4 +14,5 @@ from .kinetic_nonlocal import (G_inv_lind_analytical, G_inv_lind,
                                FoleyMadden, G_inv_gap, KGAP, HuangCarter,
                                RevisedHuangCarter, MiGenovaPavanello, XuWangMa)
 from .base import KineticFunctional
+from .neural import NeuralNetworkFunctional
 from . import ions  # noqa: F401

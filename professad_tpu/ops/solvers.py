@@ -23,7 +23,7 @@ from typing import NamedTuple, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LBFGSState", "lbfgs_init", "lbfgs_iterations",
+__all__ = ["LBFGSState", "lbfgs_init", "lbfgs_iterations", "lbfgs_minimize",
            "TPGDState", "tpgd_init", "tpgd_step"]
 
 
@@ -31,6 +31,7 @@ class LBFGSState(NamedTuple):
     x: jnp.ndarray          # flat parameter vector
     f: jnp.ndarray          # scalar objective
     g: jnp.ndarray          # flat gradient
+    g_prev: jnp.ndarray     # gradient before the last move (for y = g - g_prev)
     S: jnp.ndarray          # (history, n) step ring buffer
     Y: jnp.ndarray          # (history, n) grad-diff ring buffer
     rho: jnp.ndarray        # (history,) 1/(y.s); 0 marks an empty slot
@@ -44,8 +45,9 @@ def lbfgs_init(value_and_grad, x0, history=8):
     f0, g0 = value_and_grad(x0)
     n = x0.size
     dt = x0.dtype
+    g0 = g0.reshape(-1)
     return LBFGSState(
-        x=x0.reshape(-1), f=f0, g=g0.reshape(-1),
+        x=x0.reshape(-1), f=f0, g=g0, g_prev=g0,
         S=jnp.zeros((history, n), dt), Y=jnp.zeros((history, n), dt),
         rho=jnp.zeros((history,), dt), H_diag=jnp.ones((), dt),
         t_prev=jnp.zeros((), dt), d_prev=jnp.zeros((n,), dt),
@@ -85,12 +87,11 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
     ``optimizer.step()`` with ``max_iter=num_iters``), fully jittable."""
     history = state.S.shape[0]
 
-    def body(i, carry):
-        st, g_prev = carry
+    def body(i, st):
         first = st.n_iter == 0
 
         # --- memory update from the previous move --------------------------
-        y = st.g - g_prev
+        y = st.g - st.g_prev
         s = st.t_prev * st.d_prev
         ys = jnp.dot(y, s)
         sn2 = jnp.dot(s, s)
@@ -113,13 +114,45 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
 
         x_new = st.x + t * d
         f_new, g_new = value_and_grad(x_new)
-        new_state = LBFGSState(x=x_new, f=f_new, g=g_new.reshape(-1),
-                               S=S_new, Y=Y_new, rho=rho_new, H_diag=H_new,
-                               t_prev=t, d_prev=d, n_iter=st.n_iter + 1)
-        return (new_state, st.g)
+        return LBFGSState(x=x_new, f=f_new, g=g_new.reshape(-1), g_prev=st.g,
+                          S=S_new, Y=Y_new, rho=rho_new, H_diag=H_new,
+                          t_prev=t, d_prev=d, n_iter=st.n_iter + 1)
 
-    out, _ = jax.lax.fori_loop(0, num_iters, body, (state, state.g))
-    return out
+    return jax.lax.fori_loop(0, num_iters, body, state)
+
+
+def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
+                   max_iter=1000, history=8, f_scale=1.0, skip_iters=5):
+    """Whole density optimization as ONE XLA program.
+
+    ``lax.while_loop`` around single L-BFGS iterations with the reference's
+    stopping rule (|dE| < ntol for ``conv_count`` consecutive iterations,
+    checked only after ``skip_iters`` iterations; reference
+    system.py:866-906).  ``f_scale`` converts the objective to the units the
+    tolerance is stated in (the reference's ntol is in eV while energies are
+    Hartree).  No host synchronization until the result is fetched — on TPU
+    the full optimization runs as one dispatched program.
+
+    Returns (state, n_iter, converged).
+    """
+    state0 = lbfgs_init(value_and_grad, x0, history)
+
+    def cond(carry):
+        st, f_prev, cnt, it = carry
+        return jnp.logical_and(cnt < conv_count, it < max_iter)
+
+    def body(carry):
+        st, f_prev, cnt, it = carry
+        st = lbfgs_iterations(value_and_grad, st, 1, lr)
+        dE = jnp.abs(st.f - f_prev) * f_scale
+        hit = jnp.logical_and(it + 1 > skip_iters, dE < ntol)
+        cnt = jnp.where(hit, cnt + 1, 0)
+        return (st, st.f, cnt, it + 1)
+
+    init = (state0, state0.f, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    st, _, cnt, it = jax.lax.while_loop(cond, body, init)
+    return st, it, cnt >= conv_count
 
 
 class TPGDState(NamedTuple):

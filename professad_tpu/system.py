@@ -327,6 +327,16 @@ class System:
 
         self._jit_tpgd_outer = jax.jit(tpgd_outer)
 
+        def lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
+                       max_iter):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+            return solvers.lbfgs_minimize(vg, chi0, lr=lr, ntol=ntol,
+                                          conv_count=conv_count,
+                                          max_iter=max_iter,
+                                          f_scale=EV_PER_HA)
+
+        self._jit_lbfgs_full = jax.jit(lbfgs_full)
+
     # -- ion-ion --------------------------------------------------------
 
     def _Rc_Rd(self):
@@ -423,13 +433,19 @@ class System:
 
     def optimize_density(self, ntol=1e-7, n_conv_cond_count=3, n_method="LBFGS",
                          n_step_size=0.1, n_maxiter=1000, conv_target="dE",
-                         n_verbose=False, from_uniform=False, potentials=None):
+                         n_verbose=False, from_uniform=False, potentials=None,
+                         jit_loop=False):
         """Minimize the energy over the density (system.py:774-908).
 
         Each outer iteration is one compiled XLA program (6 L-BFGS inner
         iterations, or one TPGD step); convergence logic runs host-side with
         the same dE / dEdchi / euler targets and consecutive-hit counter as
         the reference.
+
+        ``jit_loop=True`` runs the ENTIRE optimization — L-BFGS iterations,
+        convergence counter, stopping rule — as one ``lax.while_loop`` XLA
+        program with zero host round-trips (TPU fast path; supports
+        ``conv_target='dE'`` and autodiff gradients only).
         """
         if from_uniform:
             self.initialize_density()
@@ -446,6 +462,22 @@ class System:
         quad_w = self.volume("b3") / self._den.size
         chi0 = safe_sqrt(self._den).reshape(-1)
         args = (self._box_vecs, self._v_ext, self._N_elec)
+
+        if jit_loop:
+            if potentials is not None or conv_target != "dE":
+                raise ValueError("jit_loop supports autodiff gradients and "
+                                 "conv_target='dE' only")
+            state, n_it, conv = self._jit_lbfgs_full(
+                chi0, *args, n_step_size, ntol, n_conv_cond_count,
+                round(n_maxiter))
+            self._set_den_from_chi(state.x)
+            self._ene = self._compute_energy(
+                use_ion_cache=self._Eion_cache is not None)
+            if n_verbose:
+                word = ("successfully converged" if bool(conv)
+                        else "failed to converge")
+                print(f"Density optimization {word} in {int(n_it)} step(s)\n")
+            return
 
         if potentials is None:
             vg_single = lambda x: self._vg_chi(x, *args)

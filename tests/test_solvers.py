@@ -1,0 +1,71 @@
+"""Unit tests for the jitted L-BFGS / TPGD solvers
+(professad_tpu/ops/solvers.py; behavioral parity targets:
+/root/reference/src/professad/_optimizers/)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from professad_tpu.ops import solvers
+
+
+def _quadratic(n=50, seed=0, cond=50.0):
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(Q)
+    eigs = np.geomspace(1.0, cond, n)
+    A = jnp.asarray((Q * eigs) @ Q.T)
+    b = jnp.asarray(rng.normal(size=n))
+    x_star = jnp.linalg.solve(A, b)
+
+    def vg(x):
+        return jax.value_and_grad(lambda z: 0.5 * z @ A @ z - b @ z)(x)
+
+    return vg, x_star
+
+
+def test_lbfgs_iterations_converges_on_quadratic():
+    vg, x_star = _quadratic()
+    st = solvers.lbfgs_init(vg, jnp.zeros_like(x_star))
+    step = jax.jit(lambda s: solvers.lbfgs_iterations(vg, s, 6, 1.0))
+    for _ in range(30):
+        st = step(st)
+    assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-6)
+
+
+def test_lbfgs_memory_survives_single_iteration_calls():
+    """Chained num_iters=1 calls must build curvature memory exactly like one
+    num_iters=N call (regression: the g_prev carry used to reset per call,
+    silently degrading to gradient descent)."""
+    vg, x_star = _quadratic(n=20, seed=1)
+    x0 = jnp.zeros_like(x_star)
+
+    st6 = solvers.lbfgs_init(vg, x0)
+    st6 = solvers.lbfgs_iterations(vg, st6, 12, 1.0)
+
+    st1 = solvers.lbfgs_init(vg, x0)
+    for _ in range(12):
+        st1 = solvers.lbfgs_iterations(vg, st1, 1, 1.0)
+
+    assert np.allclose(np.asarray(st1.x), np.asarray(st6.x), rtol=1e-12)
+    assert np.allclose(np.asarray(st1.rho), np.asarray(st6.rho), rtol=1e-12)
+
+
+def test_lbfgs_minimize_while_loop():
+    vg, x_star = _quadratic(n=30, seed=2)
+    st, n_it, conv = jax.jit(
+        lambda x0: solvers.lbfgs_minimize(vg, x0, lr=1.0, ntol=1e-12,
+                                          conv_count=3, max_iter=500)
+    )(jnp.zeros_like(x_star))
+    assert bool(conv)
+    assert int(n_it) < 500
+    assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-5)
+
+
+def test_tpgd_converges_on_quadratic():
+    vg, x_star = _quadratic(n=20, seed=3, cond=10.0)
+    st = solvers.tpgd_init(vg, jnp.zeros_like(x_star))
+    step = jax.jit(lambda s: solvers.tpgd_step(vg, 0.05, s))
+    for _ in range(300):
+        st = step(st)
+    assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-6)
