@@ -51,10 +51,22 @@ def G_inv_lind_analytical(eta):
 
 def G_inv_lind(eta):
     """Lindhard inverse response with eta=0 -> 1 and eta=1 -> 1/2 patched
-    (parity: functionals.py:621-628)."""
+    (parity: functionals.py:621-628).
+
+    For eta > 10 the closed form cancels catastrophically (G^-1 ~ 1/(3 eta^2)
+    emerges as the difference of O(1) terms — fatal in f32, where the result
+    can round negative and blow up the 1/G^-1 kernels at fine grids).  We
+    switch to the exact large-eta series G^-1 = sum_k u^k / ((2k-1)(2k+1)),
+    u = eta^-2, truncated at k=8: error < 1e-18 at the switch point, below
+    f64 resolution, so the correctness tier is unaffected.
+    """
     singular = (eta == 0.0) | (eta == 1.0)
     eta_safe = jnp.where(singular, 0.5, eta)
     val = G_inv_lind_analytical(eta_safe)
+    u = 1.0 / jnp.where(eta > 10.0, eta, 10.0) ** 2
+    series = u * (1 / 3 + u * (1 / 15 + u * (1 / 35 + u * (1 / 63 + u * (
+        1 / 99 + u * (1 / 143 + u * (1 / 195 + u / 255)))))))
+    val = jnp.where(eta > 10.0, series, val)
     val = jnp.where(eta == 0.0, 1.0, val)
     val = jnp.where(eta == 1.0, 0.5, val)
     return val

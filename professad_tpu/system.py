@@ -299,11 +299,22 @@ class System:
 
     def _chi_energy(self, chi_flat, box_vecs, v_ext, N_elec):
         """Energy as a function of the unconstrained sqrt-density variable:
-        n = N_e chi^2 / (int chi^2) (system.py:833-834)."""
+        n = N_e chi^2 / (int chi^2) (system.py:833-834).
+
+        f32 fast path: chi crossing zero makes den hit exact zero (TPU
+        flushes subnormals), and negative powers of den (descriptors, rs)
+        then produce inf -> NaN.  We floor the density at 1e-10 of the mean
+        and renormalize so int den = N_e stays exact; the induced energy
+        shift is O(1e-10) relative — invisible at f32 precision.  The f64
+        correctness tier is untouched (bit-exact reference parity).
+        """
         chi = chi_flat.reshape(self._shape)
         vol = volume(box_vecs)
         N_tilde = jnp.mean(chi * chi) * vol
         den = (N_elec / N_tilde) * chi * chi
+        if chi.dtype == jnp.float32:
+            c = 1e-10 * N_elec / vol
+            den = (den + c) * (N_elec / (N_elec + c * vol))
         return self._density_terms_energy(box_vecs, den, v_ext)
 
     def _build_compiled(self):
@@ -801,6 +812,52 @@ class System:
             for i in range(3):
                 FC[a, :, i, :] = -J[p, i, :, :]
         return jnp.asarray(FC)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def state_dict(self):
+        """Snapshot of the mutable state (box, ions, density, potential).
+
+        The reference has no System checkpointing (densities are cheap to
+        re-optimize, SURVEY.md section 5.4); provided here for long geometry
+        runs and workflow restarts.
+        """
+        import numpy as _np
+        return {
+            "box_vecs": _np.asarray(self._box_vecs),
+            "frac_ion_coords": _np.asarray(self._frac_ion_coords),
+            "den": _np.asarray(self._den),
+            "v_ext": _np.asarray(self._v_ext),
+            "N_elec": self._N_elec,
+            "shape": self._shape,
+            "ions": self._ions,
+        }
+
+    def load_state_dict(self, state):
+        assert tuple(state["shape"]) == self._shape, \
+            "Checkpoint grid shape must match the system's."
+        self._box_vecs = jnp.asarray(state["box_vecs"])
+        self._frac_ion_coords = jnp.asarray(state["frac_ion_coords"])
+        self._den = jnp.asarray(state["den"])
+        self._v_ext = jnp.asarray(state["v_ext"])
+        self._N_elec = state["N_elec"]
+        self._shifts_key = None
+        self._Eion_cache = None
+        self._ene = self._compute_energy()
+
+    def save(self, path):
+        """Pickle the state snapshot to ``path``."""
+        import pickle
+        with open(path, "wb") as fh:
+            pickle.dump(self.state_dict(), fh)
+
+    def load(self, path):
+        """Restore a snapshot saved with ``save`` (same grid shape)."""
+        import pickle
+        with open(path, "rb") as fh:
+            self.load_state_dict(pickle.load(fh))
 
     # ------------------------------------------------------------------
     # EOS

@@ -1,0 +1,49 @@
+"""System checkpointing and profiling-utility tests (new subsystems;
+SURVEY.md sections 5.1/5.4 rebuild items)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from professad_tpu.system import System
+from professad_tpu.models import (IonIon, IonElectron, Hartree, WangTeter,
+                                  PerdewBurkeErnzerhof)
+from professad_tpu.utils import StepTimer
+from paths import pot
+
+
+def _fcc_al(shape=(12, 12, 12)):
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    return System(box_vecs, shape, ions, terms, units="a",
+                  coord_type="fractional")
+
+
+def test_system_checkpoint_roundtrip(tmp_path):
+    sys1 = _fcc_al()
+    sys1.optimize_density(ntol=1e-6, n_maxiter=40)
+    E1 = sys1.energy()
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    sys1.save(path)
+
+    sys2 = _fcc_al()
+    assert not np.isclose(sys2.energy(), E1)  # fresh system differs
+    sys2.load(path)
+    assert np.isclose(sys2.energy(), E1, rtol=1e-12)
+    assert np.allclose(np.asarray(sys2.density()), np.asarray(sys1.density()))
+
+
+def test_step_timer():
+    t = StepTimer().start()
+    x = jnp.arange(1000.0)
+    for _ in range(3):
+        x = x * 1.0001
+        t.tick(x)
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["total_s"] > 0
+    assert np.isclose(s["steps_per_s"], 3 / s["total_s"])
