@@ -135,9 +135,67 @@ def exponential_spline_b(m, N, order):
     return expi(2.0 * np.pi * m * (order - 1.0) / N) / b
 
 
-def structure_factor_spline(box_vecs, shape, cart_ion_coords, order):
-    """Particle-Mesh Ewald structure factor via cardinal B-splines, with the
-    charge spreading as one fused scatter-add (parity: ion_utils.py:218-286)."""
+def _spread_scatter(shape, l0, l1, l2, M0, M1, M2):
+    """Charge spreading as one fused scatter-add over (ions x order^3)
+    updates (the reference loops over ions in Python, ion_utils.py:270-273)."""
+    N0, N1, N2 = shape
+    w = (M0[:, None, None, :] * M1[None, :, None, :] * M2[None, None, :, :])
+    flat_idx = ((l0[:, None, None, :] * N1 + l1[None, :, None, :]) * N2
+                + l2[None, None, :, :])
+    Q = jnp.zeros(N0 * N1 * N2, dtype=w.dtype)
+    Q = Q.at[flat_idx.reshape(-1)].add(w.reshape(-1))
+    return Q.reshape(shape)
+
+
+def _spread_mxu(shape, l0, l1, l2, M0, M1, M2, ion_chunk=256):
+    """MXU-native charge spreading: the per-ion B-spline stencil is a rank-1
+    tensor S0_i (x) S1_i (x) S2_i, so the full spread is the contraction
+    Q[a,b,c] = sum_i S0[i,a] S1[i,b] S2[i,c] — two dense matmuls on the
+    systolic array instead of a serialized scatter.  New design (no reference
+    counterpart); used for large ion counts where scatter-add serializes.
+    """
+    N0, N1, N2 = shape
+    n_ions = l0.shape[0]  # arrays are (n_ions, order)
+    dt = M0.dtype
+
+    def axis_dense(l, M, N):
+        # (n_ions, N) dense spread along one axis; per-row indices are
+        # distinct so the small scatter has no collisions
+        S = jnp.zeros((n_ions, N), dt)
+        ions = jnp.broadcast_to(jnp.arange(n_ions)[:, None], l.shape)
+        return S.at[ions.reshape(-1), l.reshape(-1)].set(M.reshape(-1))
+
+    S0 = axis_dense(l0, M0, N0)
+    S1 = axis_dense(l1, M1, N1)
+    S2 = axis_dense(l2, M2, N2)
+
+    n_pad = (-n_ions) % ion_chunk
+    if n_pad:
+        S0 = jnp.pad(S0, ((0, n_pad), (0, 0)))
+        S1 = jnp.pad(S1, ((0, n_pad), (0, 0)))
+        S2 = jnp.pad(S2, ((0, n_pad), (0, 0)))
+    S0 = S0.reshape(-1, ion_chunk, N0)
+    S1 = S1.reshape(-1, ion_chunk, N1)
+    S2 = S2.reshape(-1, ion_chunk, N2)
+
+    def body(Q, args):
+        s0, s1, s2 = args
+        T = s1[:, :, None] * s2[:, None, :]            # (chunk, N1, N2)
+        Q = Q + jnp.einsum("ia,ibc->abc", s0, T,
+                           preferred_element_type=dt)  # MXU contraction
+        return Q, None
+
+    Q, _ = jax.lax.scan(body, jnp.zeros(shape, dt), (S0, S1, S2))
+    return Q
+
+
+def structure_factor_spline(box_vecs, shape, cart_ion_coords, order,
+                            method="auto"):
+    """Particle-Mesh Ewald structure factor via cardinal B-splines
+    (parity: ion_utils.py:218-286).
+
+    ``method``: 'scatter' (fused scatter-add), 'mxu' (dense separable
+    contraction on the matrix unit), or 'auto' (scatter for few ions)."""
     N0, N1, N2 = shape
     frac = cart_ion_coords @ inv3x3(box_vecs)
     # wrap into [0,1); done twice so values like -1e-16 -> 1.0 -> 0.0
@@ -160,13 +218,15 @@ def structure_factor_spline(box_vecs, shape, cart_ion_coords, order):
     l1 = jnp.mod(orders - f1.astype(jnp.int32), N1)
     l2 = jnp.mod(orders - f2.astype(jnp.int32), N2)
 
-    # outer products over the three spline axes -> (order, order, order, n_ions)
-    w = (M0[:, None, None, :] * M1[None, :, None, :] * M2[None, None, :, :])
-    flat_idx = ((l0[:, None, None, :] * N1 + l1[None, :, None, :]) * N2
-                + l2[None, None, :, :])
-    Q = jnp.zeros(N0 * N1 * N2, dtype=w.dtype)
-    Q = Q.at[flat_idx.reshape(-1)].add(w.reshape(-1))
-    Q_ft = jnp.fft.rfftn(Q.reshape(shape))
+    if method == "auto":
+        method = "mxu" if cart_ion_coords.shape[0] >= 512 else "scatter"
+    if method == "scatter":
+        Q = _spread_scatter(shape, l0, l1, l2, M0, M1, M2)
+    elif method == "mxu":
+        Q = _spread_mxu(shape, l0.T, l1.T, l2.T, M0.T, M1.T, M2.T)
+    else:
+        raise ValueError("method must be 'auto', 'scatter' or 'mxu'")
+    Q_ft = jnp.fft.rfftn(Q)
 
     dtype = cart_ion_coords.dtype
     b0 = exponential_spline_b(jnp.arange(Q_ft.shape[0], dtype=dtype), N0, order)

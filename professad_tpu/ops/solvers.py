@@ -55,10 +55,12 @@ def lbfgs_init(value_and_grad, x0, history=8):
     )
 
 
-def _two_loop(g, S, Y, rho, H_diag):
+def _two_loop(g, S, Y, rho, H_diag, M=None):
     """Two-loop recursion d = -H g over the masked ring buffers
     (parity: lbfgsnew.py:689-713).  Buffers are ordered oldest-first by
-    construction (we roll on insert), so a plain scan is correct."""
+    construction (we roll on insert), so a plain scan is correct.
+    ``M`` optionally applies a preconditioner as the initial inverse
+    Hessian (r = H_diag * M q)."""
     history = S.shape[0]
 
     def bwd(carry, i):
@@ -69,7 +71,7 @@ def _two_loop(g, S, Y, rho, H_diag):
         return q, al
 
     q, al_rev = jax.lax.scan(bwd, -g, jnp.arange(history))
-    r = H_diag * q
+    r = H_diag * (q if M is None else M(q))
 
     def fwd(carry, i):
         r = carry
@@ -82,9 +84,18 @@ def _two_loop(g, S, Y, rho, H_diag):
 
 
 def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int,
-                     lr: float) -> LBFGSState:
+                     lr: float, apply_H0: Callable = None) -> LBFGSState:
     """Run ``num_iters`` L-BFGS iterations (the reference's
-    ``optimizer.step()`` with ``max_iter=num_iters``), fully jittable."""
+    ``optimizer.step()`` with ``max_iter=num_iters``), fully jittable.
+
+    ``apply_H0``: optional SPD preconditioner M applied as the initial
+    inverse Hessian in the two-loop recursion (r = gamma M q with
+    gamma = y.s / y.My).  For plane-wave density optimization a spectral
+    (Teter-style) M built from the uniform-gas Hessian diagonal cuts the
+    iteration count dramatically at fine grids (the Hessian spans k^2/4 for
+    the von Weizsaecker term at high k to 4 pi n0 / k^2 for Hartree at low
+    k).  The reference has no preconditioning.
+    """
     history = state.S.shape[0]
 
     def body(i, st):
@@ -103,10 +114,13 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
             accept,
             jnp.roll(st.rho, -1).at[-1].set(jnp.where(ys != 0, 1.0 / ys, 0.0)),
             st.rho)
-        H_new = jnp.where(accept, ys / jnp.dot(y, y), st.H_diag)
+        yMy = jnp.dot(y, y if apply_H0 is None else apply_H0(y))
+        H_new = jnp.where(accept, ys / yMy, st.H_diag)
 
         # --- direction ------------------------------------------------------
-        d = jnp.where(first, -st.g, _two_loop(st.g, S_new, Y_new, rho_new, H_new))
+        g0 = st.g if apply_H0 is None else apply_H0(st.g)
+        d = jnp.where(first, -g0,
+                      _two_loop(st.g, S_new, Y_new, rho_new, H_new, apply_H0))
 
         # --- fixed step (lbfgsnew.py:676-681) --------------------------------
         abs_g_sum = jnp.sum(jnp.abs(st.g))
@@ -122,7 +136,8 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
 
 
 def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
-                   max_iter=1000, history=8, f_scale=1.0, skip_iters=5):
+                   max_iter=1000, history=8, f_scale=1.0, skip_iters=5,
+                   apply_H0=None):
     """Whole density optimization as ONE XLA program.
 
     ``lax.while_loop`` around single L-BFGS iterations with the reference's
@@ -143,7 +158,7 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 
     def body(carry):
         st, f_prev, cnt, it = carry
-        st = lbfgs_iterations(value_and_grad, st, 1, lr)
+        st = lbfgs_iterations(value_and_grad, st, 1, lr, apply_H0=apply_H0)
         dE = jnp.abs(st.f - f_prev) * f_scale
         hit = jnp.logical_and(it + 1 > skip_iters, dE < ntol)
         cnt = jnp.where(hit, cnt + 1, 0)

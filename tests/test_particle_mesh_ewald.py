@@ -97,3 +97,19 @@ def test4_pme_den_force_stress():
     assert np.allclose(den1, den2)
     assert np.allclose(force1, force2)
     assert np.allclose(stress1, stress2)
+
+
+def test_mxu_spread_matches_scatter():
+    """The MXU-native separable spread (two dense contractions) must equal
+    the fused scatter-add spread to f64 matmul-reassociation noise."""
+    import numpy as np
+    import jax.numpy as jnp
+    from professad_tpu.models.ions import structure_factor_spline
+
+    rng = np.random.default_rng(7)
+    box = jnp.asarray(7.0 * np.eye(3) + 0.3 * rng.random((3, 3)))
+    coords = jnp.asarray(rng.random((41, 3))) @ box
+    shape = (18, 20, 14)
+    S_sc = structure_factor_spline(box, shape, coords, 10, method="scatter")
+    S_mx = structure_factor_spline(box, shape, coords, 10, method="mxu")
+    assert np.allclose(np.asarray(S_mx), np.asarray(S_sc), atol=1e-9)

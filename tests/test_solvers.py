@@ -62,6 +62,33 @@ def test_lbfgs_minimize_while_loop():
     assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-5)
 
 
+def test_lbfgs_preconditioner():
+    """With M = A^-1 as the initial inverse Hessian, L-BFGS solves the
+    quadratic near-immediately; and any SPD M must not change the fixed
+    point."""
+    vg, x_star = _quadratic(n=40, seed=4, cond=1000.0)
+    rng = np.random.default_rng(4)
+    Q = rng.normal(size=(40, 40))
+    Q, _ = np.linalg.qr(Q)
+    eigs = np.geomspace(1.0, 1000.0, 40)
+    A = jnp.asarray((Q * eigs) @ Q.T)
+    A_inv = jnp.linalg.inv(A)
+
+    def apply_H0(q):
+        return A_inv @ q
+
+    st = solvers.lbfgs_init(vg, jnp.zeros(40))
+    st = solvers.lbfgs_iterations(vg, st, 6, 1.0, apply_H0=apply_H0)
+    assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-8)
+
+    # ill-conditioned problem without preconditioner needs far more work
+    st_p = solvers.lbfgs_init(vg, jnp.zeros(40))
+    st_p = solvers.lbfgs_iterations(vg, st_p, 6, 1.0)
+    err_plain = np.max(np.abs(np.asarray(st_p.x - x_star)))
+    err_pc = np.max(np.abs(np.asarray(st.x - x_star)))
+    assert err_pc < err_plain * 1e-3
+
+
 def test_tpgd_converges_on_quadratic():
     vg, x_star = _quadratic(n=20, seed=3, cond=10.0)
     st = solvers.tpgd_init(vg, jnp.zeros_like(x_star))
