@@ -8,7 +8,7 @@ universal quadrature mean(integrand) * |det h|.
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.grid import wavevecs, volume
+from ..ops.grid import wavevecs, volume, qmean
 
 __all__ = ["IonIon", "IonElectron", "Hartree", "hartree_potential"]
 
@@ -25,7 +25,7 @@ def IonIon():
 
 def IonElectron(box_vecs, den, v_ext):
     """U_ie = int n(r) v_ext(r) d3r (parity: functionals.py:31-46)."""
-    return jnp.mean(den * v_ext) * volume(box_vecs)
+    return qmean(den * v_ext) * volume(box_vecs)
 
 
 def _coulomb_ft(k2):
@@ -43,4 +43,4 @@ def hartree_potential(box_vecs, den):
 def Hartree(box_vecs, den):
     """U_H = 1/2 int int n(r) n(r') / |r - r'| (parity: functionals.py:49-72)."""
     pot = hartree_potential(box_vecs, den)
-    return 0.5 * jnp.mean(den * pot) * volume(box_vecs)
+    return 0.5 * qmean(den * pot) * volume(box_vecs)

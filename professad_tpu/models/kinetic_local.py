@@ -9,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt,
+from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt, qmean,
                         reduced_gradient, reduced_gradient_squared,
                         reduced_laplacian)
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
@@ -25,7 +25,7 @@ TF_COEFF = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0)
 
 def ThomasFermi(box_vecs, den):
     """T_TF = c_TF int n^{5/3} (parity: functionals.py:207-224)."""
-    return TF_COEFF * jnp.mean(den ** (5.0 / 3.0)) * volume(box_vecs)
+    return TF_COEFF * qmean(den ** (5.0 / 3.0)) * volume(box_vecs)
 
 
 def Weizsaecker(box_vecs, den):
@@ -34,7 +34,7 @@ def Weizsaecker(box_vecs, den):
     sqrt_den = safe_sqrt(den)
     _, _, _, k2 = wavevecs(box_vecs, den.shape)
     ked = 0.25 * laplacian(k2, den) - 0.5 * sqrt_den * laplacian(k2, sqrt_den)
-    return jnp.mean(ked) * volume(box_vecs)
+    return qmean(ked) * volume(box_vecs)
 
 
 def _mean_density(box_vecs, den):
@@ -49,7 +49,7 @@ def vWGTF1(box_vecs, den):
     d = den / _mean_density(box_vecs, den)
     G = 0.9892 * d ** (-1.2994)
     TF_ked = TF_COEFF * den ** (5.0 / 3.0)
-    return Weizsaecker(box_vecs, den) + jnp.mean(G * TF_ked) * volume(box_vecs)
+    return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
 
 
 def vWGTF2(box_vecs, den):
@@ -58,7 +58,7 @@ def vWGTF2(box_vecs, den):
     ELF = 0.5 * (1.0 + jnp.tanh(5.7001 * d ** 0.2563 - 5.7001))
     G = jnp.sqrt(1.0 / ELF - 1.0)
     TF_ked = TF_COEFF * den ** (5.0 / 3.0)
-    return Weizsaecker(box_vecs, den) + jnp.mean(G * TF_ked) * volume(box_vecs)
+    return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
 
 
 def LuoKarasievTrickey(box_vecs, den):
@@ -68,7 +68,7 @@ def LuoKarasievTrickey(box_vecs, den):
     kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
     s = jnp.minimum(reduced_gradient(kx, ky, kz, den), 100.0)
     F_pauli = 1.0 / jnp.cosh(1.3 * s)
-    pauli_T = jnp.mean(TF_ked * F_pauli) * volume(box_vecs)
+    pauli_T = qmean(TF_ked * F_pauli) * volume(box_vecs)
     return Weizsaecker(box_vecs, den) + pauli_T
 
 
@@ -115,7 +115,7 @@ class PauliGaussian(KineticFunctional):
                  + jnp.abs(params["beta"]) * q * q
                  - jnp.abs(params["lamb"]) * q * s2
                  + jnp.abs(params["sigma"]) * s2 * s2)
-        pauli_T = jnp.mean(TF_ked * F_enh) * volume(box_vecs)
+        pauli_T = qmean(TF_ked * F_enh) * volume(box_vecs)
         return Weizsaecker(box_vecs, den) + pauli_T
 
 
@@ -236,4 +236,4 @@ class YukawaGGA(KineticFunctional):
         q = reduced_laplacian(k2, den)
         F_pauli = self.F_pauli(y, s2, q)
         TF_ked = TF_COEFF * den ** (5.0 / 3.0)
-        return Weizsaecker(box_vecs, den) + jnp.mean(TF_ked * F_pauli) * vol
+        return Weizsaecker(box_vecs, den) + qmean(TF_ked * F_pauli) * vol

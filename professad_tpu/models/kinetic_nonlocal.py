@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid import (wavevecs, volume, safe_sqrt, grad_dot_grad,
+from ..ops.grid import (wavevecs, volume, safe_sqrt, grad_dot_grad, qmean,
                         reduced_gradient_squared)
 from ..ops.interp import interpolate
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
@@ -98,7 +98,7 @@ def non_local_KEF(box_vecs, den, alpha, beta):
     kernel = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
               * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
     conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(den ** beta - n0 ** beta), den.shape)
-    return TF_COEFF * jnp.mean((den ** alpha - n0 ** alpha) * conv) * vol
+    return TF_COEFF * qmean((den ** alpha - n0 ** alpha) * conv) * vol
 
 
 def WangTeter(box_vecs, den):
@@ -338,7 +338,7 @@ class WangGovindCarter99(KineticFunctional):
                 + conv_with(K2, 0.5 * nb * theta**2)
                 + theta * conv_with(K3, nb * theta))
 
-        T_NL = TF_COEFF * jnp.mean(den ** alpha * conv) * vol
+        T_NL = TF_COEFF * qmean(den ** alpha * conv) * vol
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
 
@@ -419,7 +419,7 @@ class FoleyMadden(KineticFunctional):
         kernel = (TF_COEFF * 5.0 / (9.0 * alpha**2 * n0 ** (2.0 * alpha - 5.0 / 3.0))
                   * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
         conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(den**alpha - n0**alpha), den.shape)
-        NL1 = jnp.mean((den**alpha - n0**alpha) * conv) * vol
+        NL1 = qmean((den**alpha - n0**alpha) * conv) * vol
 
         K_delta = (alpha**2 * n0 ** (2.0 * alpha - 1.0) / 18.0 * k_F**2
                    * (6.0 * alpha - 5.0) * kernel)
@@ -451,7 +451,7 @@ class FoleyMadden(KineticFunctional):
                + 3.0 * F5 * F6**2 + 3.0 * F7 * F8**2 + 3.0 * F9 * F10**2
                + 3.0 * F11 * delta_nb**2)
         NL2 = (-k_F**2 / beta**3 / n0 ** (3.0 * beta - 1.0)
-               * jnp.mean(aux) * vol)
+               * qmean(aux) * vol)
         return vW + TF * self.f((NL1 + NL2) / TF)
 
 
@@ -504,7 +504,7 @@ def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
     kern = jnp.where(nz, 1.0 / G_safe - 3.0 * eta * eta - 1.0, 0.0)
     conv = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
             * jnp.fft.irfftn(kern * g_tilde, den.shape))
-    T_NL = TF_COEFF * jnp.mean(den ** alpha * conv) * vol
+    T_NL = TF_COEFF * qmean(den ** alpha * conv) * vol
     vW, TF = Weizsaecker(box_vecs, den), ThomasFermi(box_vecs, den)
     return vW + TF * f(T_NL / fprime0 / TF)
 
@@ -590,7 +590,7 @@ class _HuangCarterBase(KineticFunctional):
                                         mode=self.mode, xi_sparse=ladder)
 
         C_HC = TF_COEFF * 8.0 * (3.0 * np.pi**2)
-        T_NL = (C_HC * jnp.mean(den ** (8.0 / 3.0 - params["beta"]) * K / xis**3)
+        T_NL = (C_HC * qmean(den ** (8.0 / 3.0 - params["beta"]) * K / xis**3)
                 * volume(box_vecs))
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
@@ -707,7 +707,7 @@ class MiGenovaPavanello(KineticFunctional):
         MGP_kernel = jnp.where(nz, interp_w + 0.6 * w_corr, 0.0)
 
         conv = jnp.fft.irfftn(MGP_kernel * jnp.fft.rfftn(den ** (5.0 / 6.0)), den.shape)
-        T_NL = jnp.mean(den ** (5.0 / 6.0) * conv) * vol
+        T_NL = qmean(den ** (5.0 / 6.0) * conv) * vol
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
 
@@ -726,7 +726,7 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     kernel0 = (18.0 / (6.0 * kappa + 5.0) ** 2 * np.pi**2 / (3.0 * np.pi**2) ** (1.0 / 3.0)
                * (1.0 / G_inv - 3.0 * eta * eta - 1.0) / n0 ** (2.0 * kappa))
     conv = jnp.fft.irfftn(kernel0 * jnp.fft.rfftn(den ** (kappa + 5.0 / 6.0)), shape)
-    T_NL0 = jnp.mean(den ** (kappa + 5.0 / 6.0) * conv) * vol
+    T_NL0 = qmean(den ** (kappa + 5.0 / 6.0) * conv) * vol
 
     nz = eta != 0.0
     e = jnp.where(nz, eta, 1.0)
@@ -742,10 +742,10 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     kernel1b = n0 / (kappa + 5.0 / 6.0) ** 2 * kernel1
 
     conva = jnp.fft.irfftn(kernel1a * jnp.fft.rfftn(den ** (kappa + 11.0 / 6.0)), shape)
-    T_NL1a = jnp.mean(den ** (kappa + 5.0 / 6.0) * conva) * vol
+    T_NL1a = qmean(den ** (kappa + 5.0 / 6.0) * conva) * vol
 
     convb = jnp.fft.irfftn(kernel1b * jnp.fft.rfftn(den ** (kappa + 5.0 / 6.0)), shape)
-    T_NL1b = jnp.mean(den ** (kappa + 5.0 / 6.0) * convb) * vol
+    T_NL1b = qmean(den ** (kappa + 5.0 / 6.0) * convb) * vol
 
     return (Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den)
             + T_NL0 + T_NL1a - T_NL1b)

@@ -9,7 +9,8 @@ to 1e-10.
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.grid import wavevecs, volume, grad_dot_grad, reduced_gradient_squared
+from ..ops.grid import (wavevecs, volume, grad_dot_grad,
+                        reduced_gradient_squared, qmean)
 
 __all__ = [
     "lda_exchange", "perdew_zunger_correlation", "perdew_wang_correlation",
@@ -21,7 +22,7 @@ __all__ = [
 def lda_exchange(box_vecs, den):
     """Dirac LDA exchange (parity: functionals.py:1510-1512)."""
     return (-(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0)
-            * jnp.mean(den ** (4.0 / 3.0)) * volume(box_vecs))
+            * qmean(den ** (4.0 / 3.0)) * volume(box_vecs))
 
 
 def perdew_zunger_correlation(box_vecs, den):
@@ -33,7 +34,7 @@ def perdew_zunger_correlation(box_vecs, den):
     eps_hi = A * log_rs + B + C * rs * log_rs + D * rs
     eps_lo = gamma / (1.0 + beta1 * jnp.sqrt(rs) + beta2 * rs)
     eps_c = jnp.where(rs < 1.0, eps_hi, eps_lo)
-    return jnp.mean(eps_c * den) * volume(box_vecs)
+    return qmean(eps_c * den) * volume(box_vecs)
 
 
 def _pw92_eps(rs):
@@ -47,7 +48,7 @@ def _pw92_eps(rs):
 def perdew_wang_correlation(box_vecs, den):
     """PW92 correlation (parity: functionals.py:1524-1530)."""
     rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
-    return jnp.mean(_pw92_eps(rs) * den) * volume(box_vecs)
+    return qmean(_pw92_eps(rs) * den) * volume(box_vecs)
 
 
 def chachiyo_correlation(box_vecs, den):
@@ -56,7 +57,7 @@ def chachiyo_correlation(box_vecs, den):
     b = 20.4562557
     rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
     eps_c = a * jnp.log(1.0 + b / rs + b / rs**2)
-    return jnp.mean(eps_c * den) * volume(box_vecs)
+    return qmean(eps_c * den) * volume(box_vecs)
 
 
 def PerdewZunger(box_vecs, den):
@@ -82,7 +83,7 @@ def pbe_exchange(box_vecs, den):
     kappa = 0.804
     mu = 0.066725 * np.pi**2 / 3.0
     Fx = 1.0 + kappa - kappa / (1.0 + mu / kappa * s2)
-    return jnp.mean(Fx * eps_x) * volume(box_vecs)
+    return qmean(Fx * eps_x) * volume(box_vecs)
 
 
 def pbe_correlation(box_vecs, den):
@@ -97,7 +98,7 @@ def pbe_correlation(box_vecs, den):
           * grad_dot_grad(kx, ky, kz, den) / (den ** (7.0 / 3.0) + 1e-30))
     At2 = A * t2
     H = gamma * jnp.log(1.0 + beta / gamma * t2 * (1.0 + At2) / (1.0 + At2 + At2 * At2))
-    return jnp.mean((eps_c + H) * den) * volume(box_vecs)
+    return qmean((eps_c + H) * den) * volume(box_vecs)
 
 
 def PerdewBurkeErnzerhof(box_vecs, den):
