@@ -374,13 +374,9 @@ class FoleyMadden(KineticFunctional):
                        0.06 / (q_hi - 1.835) ** 0.75
                        + 0.05 * (q_hi - 1.8) * jnp.exp(-2.5 * (q_hi - 2.0)) + 1.0)
 
-        nz = q != 0.0
-        q_nz = jnp.where(nz, q, 1.0)
-        at2 = q == 2.0
-        q_s = jnp.where(at2, 1.0, q_nz)
-        f2 = 0.5 + (q_s**2 - 4.0) / (8.0 * q_s) * jnp.log(jnp.abs((2.0 - q_s) / (2.0 + q_s)))
-        f2 = jnp.where(at2, 0.5, f2)  # analytic limit at q = 2
-        f2 = jnp.where(nz, f2, 1.0)
+        # f2(q) == G_inv_lind(q/2) exactly (same patched limits at q=0, 2),
+        # so it inherits the cancellation-safe large-eta series
+        f2 = G_inv_lind(0.5 * q)
 
         lo = q <= 1.84
         q_lo = jnp.where(lo, q, 1.0)
@@ -477,7 +473,14 @@ def G_inv_gap(box_vecs, den, E_gap):
            + (delta * delta / (128.0 * e**3) + 1.0 / (8.0 * e) - e / 8.0)
            * jnp.log((delta * delta + aux_p**2) / (delta * delta + aux_m**2)))
     origin = jnp.where(delta != 0.0, 0.0, 1.0)
-    return eta, jnp.where(nz, val, origin)
+    val = jnp.where(nz, val, origin)
+    if eta.dtype == jnp.float32:
+        # f32 fast path: the gapped closed form cancels catastrophically at
+        # large eta; the gap correction is O(delta^2/eta^2) relative there,
+        # so fall back to the cancellation-safe Lindhard series.  The f64
+        # tier keeps the exact expression.
+        val = jnp.where(eta > 10.0, G_inv_lind(eta), val)
+    return eta, val
 
 
 def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
@@ -734,6 +737,14 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     e_safe = jnp.where(sing, 2.0, e)
     G_der = 0.5 - 0.25 * (e_safe + 1.0 / e_safe) * jnp.log(
         jnp.abs((1.0 + e_safe) / (1.0 - e_safe)))
+    # large-eta series (the log form cancels catastrophically, cf.
+    # G_inv_lind): G_der = -sum_k 2k/((2k-1)(2k+1)) eta^-2k, k = 1..7;
+    # truncation ~1e-15 at the eta = 10 switch point
+    u = 1.0 / jnp.where(e_safe > 10.0, e_safe, 10.0) ** 2
+    ks = [2.0 * k / ((2.0 * k - 1.0) * (2.0 * k + 1.0)) for k in range(1, 8)]
+    series = -u * (ks[0] + u * (ks[1] + u * (ks[2] + u * (ks[3] + u * (
+        ks[4] + u * (ks[5] + u * ks[6]))))))
+    G_der = jnp.where(e_safe > 10.0, series, G_der)
     G_inv_der = jnp.where(nz & ~sing, G_der, 0.0)
 
     kernel1 = (np.pi**2 / (3.0 * np.pi**2) ** (1.0 / 3.0) / (6.0 * n0)

@@ -5,21 +5,26 @@ TPU-native replacement for the reference's xitorch trick
 converged chi is wrapped in ``xitorch.optimize.minimize(..., maxiter=0)``
 whose custom backward applies the implicit function theorem at the minimum.
 
-Here we use ``jax.lax.custom_root``: the "solve" is the identity (chi is
-already converged by the L-BFGS optimizer), and the tangent solve inverts the
-energy Hessian in chi with conjugate gradients (Hessian-vector products via
-forward-over-reverse autodiff; CG itself is built on
-``lax.custom_linear_solve`` so the whole construction is differentiable to
-higher order — forces, stresses, elastic constants and force constants of the
-*ground state* all flow through this one primitive).
+Design: the converged chi* is exposed as a ``jax.custom_jvp`` function of the
+parameters (box vectors, volume, ionic coordinates, functional parameters).
+The JVP applies the implicit function theorem
+
+    d chi* = -H^{-1} (d/dtheta grad_chi E) dtheta
+
+with the Hessian solve done by conjugate gradients on Hessian-vector
+products (forward-over-reverse).  Everything in the tangent map is LINEAR in
+the tangents and built from transposable primitives (``cg`` supplies its own
+symmetric transpose), so reverse mode (``jax.grad``) and forward-over-reverse
+(``jax.jacfwd`` of ``jax.grad`` — bulk modulus, elastic constants, force
+constants) both work.  [An earlier ``lax.custom_root`` formulation failed
+under reverse mode: its internal linear_solve has no transpose rule.]
 
 Gauge note: the chi-parameterization n = N chi^2 / int chi^2 is scale
 invariant, so the Hessian has an exact zero mode along chi.  We project it
-out of the right-hand side and add a rank-one shift along chi to keep CG
-well-conditioned; gauge-invariant outputs are unaffected.
+out of the right-hand side and add a rank-one shift along chi (scale taken
+from the primal Hessian diagonal, keeping the tangent map linear);
+gauge-invariant outputs are unaffected.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,28 +32,8 @@ import jax.numpy as jnp
 __all__ = ["implicit_ground_state"]
 
 
-def _tangent_solve_factory(chi_opt, cg_tol, cg_maxiter):
-    chihat = chi_opt / jnp.linalg.norm(chi_opt)
-
-    def tangent_solve(g, y):
-        # g: linearized residual (the Hessian applied to a tangent), y: rhs
-        yp = y - jnp.vdot(chihat, y) * chihat
-        # scale estimate for the rank-one regularizer from one matvec
-        Hy = g(yp)
-        c = jnp.abs(jnp.vdot(yp, Hy)) / (jnp.vdot(yp, yp) + 1e-300) + 1e-300
-
-        def matvec(u):
-            return g(u) + c * jnp.vdot(chihat, u) * chihat
-
-        u, _ = jax.scipy.sparse.linalg.cg(matvec, yp, tol=cg_tol,
-                                          maxiter=cg_maxiter)
-        return u - jnp.vdot(chihat, u) * chihat
-
-    return tangent_solve
-
-
 def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
-                          cg_maxiter=500):
+                          cg_maxiter=2000, precond=None):
     """Mark a converged chi as the stationary point of ``energy_fn``.
 
     Args:
@@ -58,20 +43,58 @@ def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
                  at this point via the implicit function theorem).
       args:      differentiable extra arguments (box vectors, volume, ionic
                  coordinates, functional parameters, ...).
+      precond:   optional SPD approximate inverse Hessian applied as the CG
+                 preconditioner (e.g. ``System._spectral_precond``); the
+                 chi-Hessian's condition number grows like k_max^4
+                 (vW k^2/4 at high k, Hartree 4 pi n0/k^2 at low k), so
+                 unpreconditioned CG stagnates on fine grids.
 
     Returns:
-      chi with implicit-differentiation semantics: downstream jax.grad /
-      jax.jacfwd w.r.t. ``args`` (closed over via this call's return value)
-      sees d chi*/d args from the IFT.
+      chi with implicit-differentiation semantics: downstream ``jax.grad`` /
+      ``jax.jacfwd`` w.r.t. ``args`` sees d chi*/d args from the IFT.
     """
     chi_opt = jax.lax.stop_gradient(chi_opt)
+    chihat = chi_opt / jnp.linalg.norm(chi_opt)
 
-    def residual(chi):
-        return jax.grad(energy_fn)(chi, *args)
+    @jax.custom_jvp
+    def chi_star(*theta):
+        return chi_opt
 
-    def solve(f, x0):
-        return x0
+    @chi_star.defjvp
+    def chi_star_jvp(primals, tangents):
+        grad_chi = jax.grad(energy_fn, argnums=0)
 
-    return jax.lax.custom_root(
-        residual, chi_opt, solve,
-        _tangent_solve_factory(chi_opt, cg_tol, cg_maxiter))
+        def hvp(v):
+            return jax.jvp(lambda c: grad_chi(c, *primals),
+                           (chi_opt,), (v,))[1]
+
+        # rank-one shift scale from the PRIMAL Hessian only (keeps the
+        # tangent map linear, hence transposable for reverse mode).  The
+        # shift must be a genuine Hessian-magnitude scale: chihat itself is
+        # the zero mode (H chihat ~ 0), so probe a direction orthogonal to it
+        v0 = jnp.roll(chihat, 1)
+        v0 = v0 - jnp.vdot(chihat, v0) * chihat
+        v0 = v0 / (jnp.linalg.norm(v0) + 1e-300)
+        c = jnp.linalg.norm(hvp(v0)) + 1e-30
+
+        def matvec(v):
+            return hvp(v) + c * jnp.vdot(chihat, v) * chihat
+
+        def cg_solve(mv, rhs):
+            x, _ = jax.scipy.sparse.linalg.cg(mv, rhs, tol=cg_tol,
+                                              maxiter=cg_maxiter, M=precond)
+            return x
+
+        # b = d/dt grad_chi E(chi*, theta + t dtheta): linear in tangents
+        _, b = jax.jvp(lambda *th: grad_chi(chi_opt, *th), primals, tangents)
+        b = b - jnp.vdot(chihat, b) * chihat
+        # custom_linear_solve with an explicit (symmetric) transpose_solve:
+        # this is what makes jax.grad through the ground state possible —
+        # jax.scipy's cg alone registers no transpose rule in this JAX
+        u = jax.lax.custom_linear_solve(matvec, -b, solve=cg_solve,
+                                        transpose_solve=cg_solve,
+                                        symmetric=True)
+        u = u - jnp.vdot(chihat, u) * chihat
+        return chi_opt, u
+
+    return chi_star(*args)

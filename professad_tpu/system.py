@@ -13,8 +13,10 @@ as a JAX-first design:
   fixed-electron-number density rescaling and differentiable wavevectors.
 * Second derivatives (pressure w/ grad, bulk modulus, elastic constants,
   force constants) differentiate through the minimizer via
-  ``ops.implicit.implicit_ground_state`` (custom_root + CG Hessian solves),
-  replacing xitorch's ``minimize(..., maxiter=0)`` trick (system.py:1204-1223).
+  ``ops.implicit.implicit_ground_state`` (custom_jvp + preconditioned CG
+  Hessian solves; validated against finite differences in
+  tests/test_second_derivatives.py), replacing xitorch's
+  ``minimize(..., maxiter=0)`` trick (system.py:1204-1223).
 * Pseudopotential tables are parsed once at construction (the reference
   re-reads the .recpot file on every potential rebuild, system.py:190).
 * The real-space ion-ion sum uses a static periodic-image table regenerated
@@ -336,7 +338,7 @@ class System:
 
         def apply_H0(q):
             Q = jnp.fft.rfftn(q.reshape(self._shape))
-            return jnp.fft.irfftn(M * Q, self._shape).reshape(-1)
+            return jnp.fft.irfftn(M * Q, self._shape).reshape(q.shape)
 
         return apply_H0
 
@@ -755,8 +757,10 @@ class System:
             dEdV = jax.grad(lambda v: energy(chi0, v))(vol0)
             return float(-dEdV)
 
+        pc = self._spectral_precond(self._box_vecs, self._N_elec)
+
         def Ebar(vol):
-            chi = implicit_ground_state(energy, chi0, (vol,))
+            chi = implicit_ground_state(energy, chi0, (vol,), precond=pc)
             return energy(chi, vol)
 
         dEdV_fn = jax.grad(Ebar)
@@ -789,8 +793,10 @@ class System:
                 e = e + self._ion_ion_interaction(h, frac @ h)
             return e
 
+        pc = self._spectral_precond(box0, N_elec)
+
         def Ebar(h):
-            chi = implicit_ground_state(energy, chi0, (h,))
+            chi = implicit_ground_state(energy, chi0, (h,), precond=pc)
             return energy(chi, h)
 
         def stress_of_h(h):
@@ -845,14 +851,11 @@ class System:
                 e = e + self._ion_ion_interaction(box0, cart)
             return e
 
-        def forces_of_R(cart):
-            chi = implicit_ground_state(energy, chi0, (cart,))
-            return -jax.grad(lambda c: energy(chi, c))(cart)
+        pc = self._spectral_precond(box0, N_elec)
 
-        # NOTE: forces_of_R must differentiate chi*(cart) too — wrap via Ebar
         def forces_full(cart):
-            chi = implicit_ground_state(energy, chi0, (cart,))
-            Ebar = lambda c: energy(implicit_ground_state(energy, chi0, (c,)), c)
+            Ebar = lambda c: energy(
+                implicit_ground_state(energy, chi0, (c,), precond=pc), c)
             return -jax.grad(Ebar)(cart)
 
         J = jax.jacfwd(forces_full)(cart0)  # J[p,i,j,b] = dF_pi/dR_jb
