@@ -988,11 +988,11 @@ class System:
                 box = x[i:i + 9].reshape(3, 3)
             return frac, box
 
-        chi_holder = {}
-
-        def geom_energy(x):
+        def geom_energy(x, chi):
+            # chi is an explicit argument: a closure capture would be baked
+            # into the jitted trace as a constant and silently freeze the
+            # first iteration's density for the whole relaxation
             frac, box = unpack(jnp.asarray(x))
-            chi = chi_holder["chi"]
             v_ext = (self._potential_from_ions(box, frac @ box)
                      if self._needs_vext() else self._v_ext)
             N_tilde = jnp.mean(chi * chi) * volume(box)
@@ -1002,7 +1002,9 @@ class System:
                 E = E + self._ion_ion_interaction(box, frac @ box)
             return E
 
-        vg = jax.jit(jax.value_and_grad(geom_energy))
+        vg_chi = jax.jit(jax.value_and_grad(geom_energy))
+        chi_holder = {}
+        vg = lambda x: vg_chi(x, chi_holder["chi"])
 
         line_search = g_method in ("LBFGSlinesearch",)
         if g_method in ("LBFGS", "LBFGSlinesearch"):
@@ -1087,11 +1089,9 @@ class System:
         if ftol is None and stol is None:
             raise ValueError("At least one of stol/ftol must not be None")
 
-        chi_holder = {}
-
-        def geom_energy(p):
+        def geom_energy(p, chi):
+            # chi as an explicit argument — see optimize_geometry
             box, frac = parameterized_geometry(p)
-            chi = chi_holder["chi"]
             v_ext = (self._potential_from_ions(box, frac @ box)
                      if self._needs_vext() else self._v_ext)
             N_tilde = jnp.mean(chi * chi) * volume(box)
@@ -1101,7 +1101,9 @@ class System:
                 E = E + self._ion_ion_interaction(box, frac @ box)
             return E
 
-        vg = jax.jit(jax.value_and_grad(geom_energy))
+        vg_chi = jax.jit(jax.value_and_grad(geom_energy))
+        chi_holder = {}
+        vg = lambda x: vg_chi(x, chi_holder["chi"])
 
         line_search = g_method in ("LBFGSlinesearch",)
         if g_method in ("LBFGS", "LBFGSlinesearch"):
@@ -1178,11 +1180,13 @@ class _HostLBFGS:
     split: vendored LBFGSNew over a handful of parameters, with the energy
     closure doing the heavy lifting (lbfgsnew.py:512-753)."""
 
-    def __init__(self, lr=0.1, history=8, max_iter=6, line_search=True):
+    def __init__(self, lr=0.1, history=8, max_iter=6, line_search=True,
+                 max_step=0.2):
         self.lr = lr
         self.history = history
         self.max_iter = max_iter
         self.line_search = line_search
+        self.max_step = max_step  # trust region: cap |t d|_inf per iteration
         self.S, self.Y = [], []
         self.n_iter = 0
         self._prev = None  # (x, g)
@@ -1226,8 +1230,19 @@ class _HostLBFGS:
             gtd = np.dot(g, d)
             if gtd > 0:  # not a descent direction: reset
                 d, gtd = -g, -np.dot(g, g)
-            t = (min(1.0, 1.0 / max(np.sum(np.abs(g)), 1e-300)) * self.lr
-                 if self.n_iter == 0 else self.lr)
+            if self.n_iter == 0:
+                t = min(1.0, 1.0 / max(np.sum(np.abs(g)), 1e-300)) * self.lr
+            elif self.line_search and self.S:
+                # once curvature memory exists, the two-loop direction is a
+                # quasi-Newton step: start the backtracking at the unit step
+                t = 1.0
+            else:
+                t = self.lr
+            # trust region: the frozen-density objective is unbounded below
+            # under cell collapse, so Armijo alone can accept runaway steps
+            d_inf = np.max(np.abs(d))
+            if t * d_inf > self.max_step:
+                t = self.max_step / d_inf
             self._prev = (x.copy(), g.copy())
             if self.line_search:
                 for _ in range(25):

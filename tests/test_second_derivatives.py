@@ -20,7 +20,7 @@ from paths import pot
 GPA = 29421.02648438959  # Ha/bohr^3 -> GPa
 
 
-def _fcc_al(shape=(12, 12, 12)):
+def _fcc_al(shape=(10, 10, 10)):
     box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
                                    [0.0, 0.5, 0.5],
                                    [0.5, 0.0, 0.5]])
@@ -81,7 +81,7 @@ def test_force_constants_vs_fd():
     frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
     ions = [["Li", pot("li.gga.recpot"), frac]]
     terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
-    s = System(box_vecs, (12, 12, 12), ions, terms, units="a",
+    s = System(box_vecs, (10, 10, 10), ions, terms, units="a",
                coord_type="fractional")
     s.optimize_density(ntol=1e-10)
     FC = np.asarray(s.force_constants([0], units="Ha/b2"))  # (1, N, 3, 3)
