@@ -25,16 +25,19 @@ from professad_tpu.models import Hartree, ThomasFermi, Weizsaecker, WangTeter
 from professad_tpu.ops import solvers
 
 devs = jax.devices()
+if len(devs) < 2:
+    devs = jax.devices("cpu")  # emulated mesh (xla_force_host_platform_device_count)
+dtype = jnp.float64 if devs[0].platform == "cpu" else jnp.float32
 mesh = make_mesh(len(devs), batch=1, devices=devs)
 print(f"mesh: {mesh}")
 
 shape = (8 * mesh.shape["grid"], 32, 32)
-box_vecs = 12.0 * jnp.eye(3)
+box_vecs = jnp.asarray(12.0 * np.eye(3), dtype)
 N_elec = 16.0
-vol = float(jnp.abs(jnp.linalg.det(box_vecs)))
+vol = float(abs(np.linalg.det(np.asarray(box_vecs))))
 
 rng = np.random.default_rng(0)
-den0 = jnp.asarray(1.0 + 0.2 * rng.random(shape)) * (N_elec / vol)
+den0 = jnp.asarray((1.0 + 0.2 * rng.random(shape)) * (N_elec / vol), dtype)
 
 
 def chi_energy(chi_flat):

@@ -577,6 +577,10 @@ class _HuangCarterBase(KineticFunctional):
         _, _, _, k2 = wavevecs(box_vecs, den.shape)
         xis = self._xis(params, box_vecs, den)
         eta_1D, w_1D = self.kernel
+        # tables are built in f64; cast to the working dtype so the f32 fast
+        # path stays f32/C64 (TPU has no C128)
+        eta_1D = eta_1D.astype(den.dtype)
+        w_1D = w_1D.astype(den.dtype)
 
         def w_tilde(q_, xi_sparse):
             eta = q_[..., None] / xi_sparse
@@ -701,6 +705,8 @@ class MiGenovaPavanello(KineticFunctional):
                 raise RuntimeError("MGP: call prepare() before tracing.")
             self.prepare(box_vecs, den)
         eta_1D, w_1D = self.kernel
+        eta_1D = eta_1D.astype(den.dtype)
+        w_1D = w_1D.astype(den.dtype)
 
         nz = k2 != 0.0
         k2s = jnp.where(nz, k2, 1.0)

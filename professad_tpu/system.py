@@ -164,6 +164,8 @@ class System:
 
     def _interp_recpot(self, table, ks_interp):
         ks, pot_ft, z = table
+        ks = ks.astype(ks_interp.dtype)
+        pot_ft = pot_ft.astype(ks_interp.dtype)
         interp = interpolate(ks, pot_ft, jnp.minimum(ks_interp, ks[-1]))
         nz = ks_interp != 0.0
         k_safe = jnp.where(nz, ks_interp, 1.0)
@@ -174,7 +176,7 @@ class System:
         w.r.t. (box_vecs, cart_ion_coords) (system.py:183-194)."""
         _, _, _, k2 = wavevecs(box_vecs, self._shape)
         k = safe_sqrt(k2)
-        v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
+        v_ext = jnp.zeros(self._shape, dtype=box_vecs.dtype)
         counter = 0
         for (name, path, count, z), table in zip(self._ions, self._recpot_tables):
             v_s_ft = self._interp_recpot(table, k)
