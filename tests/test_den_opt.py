@@ -1,5 +1,7 @@
-"""Exactly-solvable physics + optimizer cross-validation
-(parity: /root/reference/tests/test_den_opt.py)."""
+"""Exactly-solvable physics + optimizer cross-validation (coverage parity
+with /root/reference/tests/test_den_opt.py: the hydrogen atom, the 3-D
+quantum harmonic oscillator, and LBFGS-vs-TPGD agreement at the same
+tolerances)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -11,72 +13,74 @@ from professad_tpu.models import (IonIon, IonElectron, Hartree, Weizsaecker,
 from professad_tpu.utils.crystal import get_cell
 from paths import pot
 
-
-def test1_exact_cases():
-    # large box: non-interacting single-orbital systems with vW-only KE
-    L = 20.0
-    box_vecs = L * jnp.eye(3)
-    shape = System.ecut2shape(250, box_vecs)
-
-    # hydrogen atom: E = -1/2 Ha
-    ions = [["H", pot("H.coulomb-kcut-15.recpot"),
-             jnp.asarray([[0.5, 0.5, 0.5]])]]
-    terms = [IonElectron, Weizsaecker]
-    system = System(box_vecs, shape, ions, terms, units="b",
-                    coord_type="fractional")
-    system.set_electron_number(1)
-    system.optimize_density(ntol=1e-4)
-    assert abs(system.energy("Ha") - (-0.5)) < 5e-3
-
-    # 3-D quantum harmonic oscillator: E = 3/2 sqrt(k)
-    k = 10
-    xf, yf, zf = np.meshgrid(*(np.arange(s) / s for s in shape), indexing="ij")
-    bv = np.asarray(box_vecs)
-    x = bv[0, 0] * xf + bv[1, 0] * yf + bv[2, 0] * zf
-    y = bv[0, 1] * xf + bv[1, 1] * yf + bv[2, 1] * zf
-    z = bv[0, 2] * xf + bv[1, 2] * yf + bv[2, 2] * zf
-    qho_pot = 0.5 * k * ((x - L / 2) ** 2 + (y - L / 2) ** 2 + (z - L / 2) ** 2)
-
-    system.set_potential(jnp.asarray(qho_pot))
-    system.initialize_density()
-    system.optimize_density(ntol=1e-4)
-    assert abs(system.energy("Ha") - 1.5 * np.sqrt(k)) < 5e-6
+BOX_L = 20.0  # bohr — large box for non-interacting single-orbital systems
 
 
-def test2_compare_optimizers():
-    terms = [IonIon, IonElectron, Hartree, LuoKarasievTrickey,
-             PerdewBurkeErnzerhof]
-    box_vecs, frac_ion_coords = get_cell("fcc", vol_per_atom=16.8,
-                                         coord_type="fractional")
-    ions = [["Al", pot("al.gga.recpot"), frac_ion_coords]]
-    shape = System.ecut2shape(1600, box_vecs)
-    system = System(box_vecs, shape, ions, terms, units="a",
-                    coord_type="fractional")
-    system.optimize_density(ntol=1e-4, n_method="LBFGS")
-    E1 = system.energy("eV")
-    system.initialize_density()
-    system.optimize_density(ntol=1e-4, n_conv_cond_count=5, n_method="TPGD")
-    E2 = system.energy("eV")
-    assert abs(E1 - E2) < 5e-4
+def _vw_only_system(ecut_eV=250):
+    """H nucleus in a big box with von Weizsaecker-only kinetic energy
+    (exact for one orbital)."""
+    cell = BOX_L * jnp.eye(3)
+    sys_ = System(cell, System.ecut2shape(ecut_eV, cell),
+                  [["H", pot("H.coulomb-kcut-15.recpot"),
+                    jnp.asarray([[0.5, 0.5, 0.5]])]],
+                  [IonElectron, Weizsaecker], units="b",
+                  coord_type="fractional")
+    sys_.set_electron_number(1)
+    return sys_
 
 
-def test3_check_convergence_measures():
-    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
-    box_vecs, frac_ion_coords = get_cell("fcc", vol_per_atom=16.8,
-                                         coord_type="fractional")
-    ions = [["Al", pot("al.gga.recpot"), frac_ion_coords]]
-    shape = System.ecut2shape(1600, box_vecs)
-    system = System(box_vecs, shape, ions, terms, units="a",
-                    coord_type="fractional")
-    system.optimize_density(ntol=1e-4)
+def test_hydrogen_atom_energy():
+    sys_ = _vw_only_system()
+    sys_.optimize_density(ntol=1e-4)
+    assert abs(sys_.energy("Ha") + 0.5) < 5e-3  # E_exact = -1/2 Ha
 
-    dEdchi = system.check_density_convergence()
 
-    dEdn = system.functional_derivative("density")
-    chi = jnp.sqrt(system.density())
-    N_tilde = jnp.mean(chi**2) * system.volume()
-    dEdchi_from_dEdn = ((system.electron_count() / N_tilde) * 2 * chi
-                        * (dEdn - jnp.mean(dEdn * system.density())
-                           * system.volume() / system.electron_count()))
-    assert np.allclose(dEdchi, float(jnp.max(jnp.abs(dEdchi_from_dEdn))),
-                       rtol=1e-10)
+def test_quantum_harmonic_oscillator_energy():
+    sys_ = _vw_only_system()
+    spring_k = 10.0
+
+    # harmonic well centered in the box, built on the real-space grid
+    grid = sys_._shape
+    fr = np.stack(np.meshgrid(*(np.arange(s) / s for s in grid),
+                              indexing="ij"), axis=-1)
+    r = fr @ np.asarray(BOX_L * np.eye(3))
+    r2 = np.sum((r - BOX_L / 2.0) ** 2, axis=-1)
+    sys_.set_potential(jnp.asarray(0.5 * spring_k * r2))
+
+    sys_.initialize_density()
+    sys_.optimize_density(ntol=1e-4)
+    assert abs(sys_.energy("Ha") - 1.5 * np.sqrt(spring_k)) < 5e-6
+
+
+def _fcc_al_system(kinetic, ecut_eV=1600):
+    cell, fracs = get_cell("fcc", vol_per_atom=16.8)
+    return System(cell, System.ecut2shape(ecut_eV, cell),
+                  [["Al", pot("al.gga.recpot"), fracs]],
+                  [IonIon, IonElectron, Hartree, kinetic,
+                   PerdewBurkeErnzerhof],
+                  units="a", coord_type="fractional")
+
+
+def test_lbfgs_and_tpgd_agree():
+    sys_ = _fcc_al_system(LuoKarasievTrickey)
+    sys_.optimize_density(ntol=1e-4, n_method="LBFGS")
+    E_lbfgs = sys_.energy("eV")
+    sys_.initialize_density()
+    sys_.optimize_density(ntol=1e-4, n_conv_cond_count=5, n_method="TPGD")
+    assert abs(E_lbfgs - sys_.energy("eV")) < 5e-4
+
+
+def test_convergence_measures_consistent():
+    """max |dE/dchi| reported by the optimizer equals the value rebuilt from
+    the density-space functional derivative and the chain rule."""
+    sys_ = _fcc_al_system(WangTeter)
+    sys_.optimize_density(ntol=1e-4)
+
+    reported = sys_.check_density_convergence()
+
+    dEdn = sys_.functional_derivative("density")
+    chi = jnp.sqrt(sys_.density())
+    N_tilde = jnp.mean(chi**2) * sys_.volume()
+    mu = jnp.mean(dEdn * sys_.density()) * sys_.volume() / sys_.electron_count()
+    rebuilt = (sys_.electron_count() / N_tilde) * 2.0 * chi * (dEdn - mu)
+    assert np.allclose(reported, float(jnp.max(jnp.abs(rebuilt))), rtol=1e-10)
