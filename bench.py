@@ -90,7 +90,10 @@ def main():
     v_ext = jax.device_put(jnp.asarray(v_ext_np, dtype), dev)
     chi0 = jax.device_put(jnp.asarray(np.sqrt(den_np).reshape(-1), dtype), dev)
 
-    full = system._jit_lbfgs_full_pc  # whole optimization as one XLA program
+    def full(chi0, box_vecs, v_ext, N_elec, lr, ntol, cc, mi):
+        # whole optimization as one XLA program, preconditioned
+        return system._jit_lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr,
+                                      ntol, cc, mi, precondition=True)
 
     # ---- compile + warm (untimed) ----------------------------------------
     t0 = time.perf_counter()

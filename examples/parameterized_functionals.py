@@ -5,6 +5,10 @@
    matches the Wang-Teter one on an optimized fcc-Al density.
 2. Same task with the MLP NeuralNetworkFunctional — gradients of the loss
    flow through the functional derivative (a second-order autodiff).
+3. GROUND-STATE training: fit PG so its re-optimized ground-state energy
+   matches the WT one — gradients flow THROUGH the density optimizer via
+   ``System.gs_property_fn`` (the reference's ``energy(requires_grad=True)``
+   workflow, system.py:459-480).
 
 Run:  python examples/parameterized_functionals.py
 """
@@ -74,3 +78,24 @@ nn.save("/tmp/nn_functional.pkl")
 nn2 = NeuralNetworkFunctional.load("/tmp/nn_functional.pkl")
 print("checkpoint round-trip OK:",
       float(loss_nn(nn2.params)) == float(loss_nn(nn.params)))
+
+# ---- 3. ground-state training ----------------------------------------------
+# target: the WT ground-state energy; trainable: PG, whose ground state is
+# RE-OPTIMIZED each epoch and differentiated through via the IFT
+E_target = system.energy("Ha")
+
+pg_gs = PauliGaussian()
+sys_pg = System(box_vecs, (14, 14, 14), ions,
+                [IonIon, IonElectron, Hartree, pg_gs, PerdewBurkeErnzerhof],
+                units="a", coord_type="fractional")
+
+print("ground-state energy training (target = WT energy):")
+for epoch in range(6):
+    # re-converge the density at the current params, then take IFT gradients
+    sys_pg.optimize_density(ntol=1e-9, n_maxiter=2000)
+    gs_energy = sys_pg.gs_property_fn(pg_gs)
+    loss = pg_gs.update_params(
+        lambda p: pg_gs.scalar_error(E_target, gs_energy(p)))
+    print(f"  epoch {epoch:3d}  loss {float(loss):.3e}  "
+          f"E {sys_pg.energy('Ha'):.6f} vs target {E_target:.6f}")
+print({k: round(float(v), 4) for k, v in pg_gs.params.items()})

@@ -55,8 +55,21 @@ def read_recpot(path):
             if len(parts) == 3:
                 values += parts
     pot_ft = np.asarray(values, dtype=np.float64) * RECPOT_POT_CONV
+    if pot_ft.size < 3:
+        raise ValueError(f"recpot '{path}': too few tabulated values")
     ks, dk = np.linspace(0.0, k_max, pot_ft.size, retstep=True)
-    z = round((pot_ft[1] - pot_ft[0]) * dk * dk / (-4.0 * np.pi))
+    # infer Z from the k->0 Coulomb limit V(k) - V(0) ~ -4 pi Z / k^2,
+    # anchored at TWO small-k points so a malformed table raises instead of
+    # silently truncating to a wrong integer (cf. ion_utils.py:20-46)
+    z1 = (pot_ft[1] - pot_ft[0]) * dk * dk / (-4.0 * np.pi)
+    z2 = (pot_ft[2] - pot_ft[0]) * (2.0 * dk) ** 2 / (-4.0 * np.pi)
+    z = round(z1)
+    # z == 0 is legitimate (smoothed/neutral tables, e.g. the test-suite's
+    # truncated-Coulomb H potential, used with set_electron_number)
+    if z < 0 or round(z2) != z or (z > 0 and abs(z1 - z) > 0.05 * z):
+        raise ValueError(
+            f"recpot '{path}': inconsistent k->0 Coulomb tail "
+            f"(Z estimates {z1:.4f} and {z2:.4f}); file may be malformed")
     pot_ft = pot_ft.copy()
     pot_ft[1:] += 4.0 * np.pi * z / (ks[1:] * ks[1:])
     return ks, pot_ft, z
@@ -181,8 +194,12 @@ def _spread_mxu(shape, l0, l1, l2, M0, M1, M2, ion_chunk=256):
     def body(Q, args):
         s0, s1, s2 = args
         T = s1[:, :, None] * s2[:, None, :]            # (chunk, N1, N2)
+        # HIGHEST precision: the default lowers f32 multiplies to bf16 on
+        # TPU (~1e-3 relative error in the charge grid), far above the f32
+        # accuracy budget of the PME path
         Q = Q + jnp.einsum("ia,ibc->abc", s0, T,
-                           preferred_element_type=dt)  # MXU contraction
+                           preferred_element_type=dt,
+                           precision=jax.lax.Precision.HIGHEST)
         return Q, None
 
     Q, _ = jax.lax.scan(body, jnp.zeros(shape, dt), (S0, S1, S2))

@@ -71,10 +71,18 @@ def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
         # rank-one shift scale from the PRIMAL Hessian only (keeps the
         # tangent map linear, hence transposable for reverse mode).  The
         # shift must be a genuine Hessian-magnitude scale: chihat itself is
-        # the zero mode (H chihat ~ 0), so probe a direction orthogonal to it
+        # the zero mode (H chihat ~ 0), so probe a direction orthogonal to
+        # it.  For (near-)uniform chi the rolled probe degenerates to ~0, so
+        # fall back to a deterministic sinusoidal grid vector in that case.
         v0 = jnp.roll(chihat, 1)
         v0 = v0 - jnp.vdot(chihat, v0) * chihat
-        v0 = v0 / (jnp.linalg.norm(v0) + 1e-300)
+        nrm = jnp.linalg.norm(v0)
+        alt = jnp.sin(jnp.arange(chihat.size, dtype=chihat.dtype)
+                      ).reshape(chihat.shape)
+        alt = alt - jnp.vdot(chihat, alt) * chihat
+        v0 = jnp.where(nrm > 1e-7,
+                       v0 / (nrm + 1e-300),
+                       alt / (jnp.linalg.norm(alt) + 1e-300))
         c = jnp.linalg.norm(hvp(v0)) + 1e-30
 
         def matvec(v):

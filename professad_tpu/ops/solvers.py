@@ -137,18 +137,25 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
 
 def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
                    max_iter=1000, history=8, f_scale=1.0, skip_iters=5,
-                   apply_H0=None):
+                   apply_H0=None, block=6, stop_fn=None):
     """Whole density optimization as ONE XLA program.
 
-    ``lax.while_loop`` around single L-BFGS iterations with the reference's
-    stopping rule (|dE| < ntol for ``conv_count`` consecutive iterations,
-    checked only after ``skip_iters`` iterations; reference
-    system.py:866-906).  ``f_scale`` converts the objective to the units the
-    tolerance is stated in (the reference's ntol is in eV while energies are
-    Hartree).  No host synchronization until the result is fetched — on TPU
-    the full optimization runs as one dispatched program.
+    ``lax.while_loop`` around *blocks* of ``block`` L-BFGS iterations with
+    the reference's stopping rule: the convergence measure is evaluated once
+    per outer step (= one ``optimizer.step()`` of ``block`` inner iterations,
+    matching the host loop and reference system.py:866-906), must satisfy
+    ``stop_var < ntol`` for ``conv_count`` consecutive outer steps, and is
+    only checked after ``skip_iters`` outer steps.  ``max_iter`` counts outer
+    steps, like the reference's ``n_maxiter``.
 
-    Returns (state, n_iter, converged).
+    ``stop_fn(state, f_prev) -> scalar`` customizes the convergence measure
+    (e.g. max|dE/dchi| or the Euler-equation residual); the default is
+    ``|dE| * f_scale`` (``f_scale`` converts the objective to the units the
+    tolerance is stated in — the reference's ntol is in eV while energies
+    are Hartree).  No host synchronization until the result is fetched — on
+    TPU the full optimization runs as one dispatched program.
+
+    Returns (state, n_outer_steps, converged).
     """
     state0 = lbfgs_init(value_and_grad, x0, history)
 
@@ -158,9 +165,12 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 
     def body(carry):
         st, f_prev, cnt, it = carry
-        st = lbfgs_iterations(value_and_grad, st, 1, lr, apply_H0=apply_H0)
-        dE = jnp.abs(st.f - f_prev) * f_scale
-        hit = jnp.logical_and(it + 1 > skip_iters, dE < ntol)
+        st = lbfgs_iterations(value_and_grad, st, block, lr, apply_H0=apply_H0)
+        if stop_fn is None:
+            stop_var = jnp.abs(st.f - f_prev) * f_scale
+        else:
+            stop_var = stop_fn(st, f_prev)
+        hit = jnp.logical_and(it + 1 > skip_iters, stop_var < ntol)
         cnt = jnp.where(hit, cnt + 1, 0)
         return (st, st.f, cnt, it + 1)
 

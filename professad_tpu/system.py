@@ -265,8 +265,9 @@ class System:
 
     def density(self, requires_grad=False):
         """Ground-state electron density.  (The ``requires_grad`` flag is a
-        torch-ism; for differentiable ground-state workflows use
-        ``gs_property_fn``.)"""
+        torch-ism; for differentiable ground-state workflows — gradients of
+        density/energy targets w.r.t. functional parameters — use
+        ``gs_property_fn``, reference system.py:361-375.)"""
         return self._den
 
     def energy(self, units="Ha", requires_grad=False):
@@ -373,25 +374,44 @@ class System:
         self._jit_tpgd_outer = jax.jit(tpgd_outer)
 
         def lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
-                       max_iter):
+                       max_iter, conv_target="dE", precondition=False):
             vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+            aH0 = (self._spectral_precond(box_vecs, N_elec) if precondition
+                   else None)
+            stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec)
             return solvers.lbfgs_minimize(vg, chi0, lr=lr, ntol=ntol,
                                           conv_count=conv_count,
                                           max_iter=max_iter,
-                                          f_scale=EV_PER_HA)
+                                          f_scale=EV_PER_HA, apply_H0=aH0,
+                                          stop_fn=stop_fn)
 
-        self._jit_lbfgs_full = jax.jit(lbfgs_full)
+        self._jit_lbfgs_full = jax.jit(
+            lbfgs_full, static_argnames=("conv_target", "precondition"))
 
-        def lbfgs_full_pc(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
-                          max_iter):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
-            aH0 = self._spectral_precond(box_vecs, N_elec)
-            return solvers.lbfgs_minimize(vg, chi0, lr=lr, ntol=ntol,
-                                          conv_count=conv_count,
-                                          max_iter=max_iter,
-                                          f_scale=EV_PER_HA, apply_H0=aH0)
-
-        self._jit_lbfgs_full_pc = jax.jit(lbfgs_full_pc)
+    def _make_stop_fn(self, conv_target, box_vecs, v_ext, N_elec):
+        """Convergence measure for the jitted while-loop optimizer, one
+        evaluation per outer step (reference criteria: system.py:866-906).
+        'dE' uses the solver's built-in |dE| measure (returns None)."""
+        if conv_target == "dE":
+            return None
+        if conv_target == "dEdchi":
+            def stop_fn(st, f_prev):
+                quad_w = volume(box_vecs) / st.x.size
+                return jnp.max(jnp.abs(st.g)) / quad_w
+            return stop_fn
+        if conv_target == "euler":
+            def stop_fn(st, f_prev):
+                chi = st.x.reshape(self._shape)
+                vol = volume(box_vecs)
+                N_tilde = jnp.mean(chi * chi) * vol
+                den = (N_elec / N_tilde) * chi * chi
+                quad_w = vol / den.size
+                dEdn = jax.grad(self._density_terms_energy, argnums=1)(
+                    box_vecs, den, v_ext) / quad_w
+                mu = jnp.mean(dEdn * den) * vol / N_elec
+                return jnp.max(jnp.abs(mu - dEdn))
+            return stop_fn
+        raise ValueError("conv_target must be 'dE', 'dEdchi' or 'euler'")
 
     # -- ion-ion --------------------------------------------------------
 
@@ -500,8 +520,9 @@ class System:
 
         ``jit_loop=True`` runs the ENTIRE optimization — L-BFGS iterations,
         convergence counter, stopping rule — as one ``lax.while_loop`` XLA
-        program with zero host round-trips (TPU fast path; supports
-        ``conv_target='dE'`` and autodiff gradients only).
+        program with zero host round-trips (TPU fast path; all three
+        ``conv_target`` criteria supported, autodiff gradients only,
+        LBFGS only).
 
         ``precondition=True`` applies the spectral (Teter-style)
         preconditioner as the L-BFGS initial inverse Hessian — ~2x fewer
@@ -525,14 +546,16 @@ class System:
         args = (self._box_vecs, self._v_ext, self._N_elec)
 
         if jit_loop:
-            if potentials is not None or conv_target != "dE":
-                raise ValueError("jit_loop supports autodiff gradients and "
-                                 "conv_target='dE' only")
-            full = (self._jit_lbfgs_full_pc if precondition
-                    else self._jit_lbfgs_full)
-            state, n_it, conv = full(
+            if potentials is not None:
+                raise ValueError("jit_loop supports autodiff gradients only")
+            if n_method != "LBFGS":
+                raise ValueError("jit_loop supports n_method='LBFGS' only")
+            if conv_target not in ("dE", "dEdchi", "euler"):
+                raise ValueError("conv_target must be 'dE', 'dEdchi' or 'euler'")
+            state, n_it, conv = self._jit_lbfgs_full(
                 chi0, *args, n_step_size, ntol, n_conv_cond_count,
-                round(n_maxiter))
+                round(n_maxiter), conv_target=conv_target,
+                precondition=precondition)
             self._set_den_from_chi(state.x)
             self._ene = self._compute_energy(
                 use_ion_cache=self._Eion_cache is not None)
@@ -869,6 +892,76 @@ class System:
         return jnp.asarray(FC)
 
     # ------------------------------------------------------------------
+    # differentiable ground-state properties (functional training)
+    # ------------------------------------------------------------------
+
+    def gs_property_fn(self, functional=None, property_fn=None):
+        """Ground-state properties differentiable w.r.t. the parameters of a
+        trainable functional term.
+
+        JAX-native replacement for the reference's
+        ``energy(requires_grad=True)`` / ``density(requires_grad=True)``
+        training workflow (reference system.py:459-480, 361-375): there,
+        xitorch re-marks the converged density as a minimum so losses built
+        on ground-state properties backprop into functional parameters; here
+        the same implicit-function-theorem semantics come from
+        ``ops.implicit.implicit_ground_state``.
+
+        Args:
+          functional: a trainable term of this System (an object with a pure
+            ``apply(params, box_vecs, den)``, e.g. a ``KineticFunctional``).
+            Its stored params are IGNORED inside the returned function — the
+            ``params`` argument is used instead, so gradients flow.
+          property_fn: optional ``(den, E) -> pytree`` mapping the
+            ground-state density [bohr^-3] and total energy [Ha, incl.
+            ion-ion] to the quantity of interest.  Default: the energy.
+
+        Returns:
+          ``fn(params)``: differentiable map from functional parameters to
+          the property, with d(chi*)/d(params) supplied by the IFT **at the
+          currently stored density** — call ``optimize_density()`` first
+          (with the same params) so the stored density is the minimum.
+        """
+        if functional is not None and functional not in self._terms:
+            raise ValueError("`functional` must be one of this System's terms")
+        box_vecs, v_ext, N_elec = self._box_vecs, self._v_ext, self._N_elec
+        vol = volume(box_vecs)
+        chi0 = self._gs_chi()
+
+        def energy(chi, params):
+            N_tilde = jnp.mean(chi * chi) * vol
+            den = (N_elec / N_tilde) * chi * chi
+            E = jnp.zeros((), dtype=den.dtype)
+            for f in self._terms:
+                nm = _term_name(f)
+                if functional is not None and f is functional:
+                    E = E + functional.apply(params, box_vecs, den)
+                elif nm == "IonElectron":
+                    E = E + f(box_vecs, den, v_ext)
+                elif nm == "IonIon":
+                    continue
+                else:
+                    E = E + f(box_vecs, den)
+            return E
+
+        pc = self._spectral_precond(box_vecs, N_elec)
+        E_ion = (self._ion_ion_interaction(box_vecs,
+                                           self._frac_ion_coords @ box_vecs)
+                 if self._has_ion_ion() else 0.0)
+        E_ion = jax.lax.stop_gradient(E_ion)
+
+        def fn(params):
+            chi = implicit_ground_state(energy, chi0, (params,), precond=pc)
+            E = energy(chi, params) + E_ion
+            if property_fn is None:
+                return E
+            N_tilde = jnp.mean(chi * chi) * vol
+            den = (N_elec / N_tilde) * chi * chi
+            return property_fn(den, E)
+
+        return fn
+
+    # ------------------------------------------------------------------
     # checkpoint / resume
     # ------------------------------------------------------------------
 
@@ -891,8 +984,19 @@ class System:
         }
 
     def load_state_dict(self, state):
-        assert tuple(state["shape"]) == self._shape, \
-            "Checkpoint grid shape must match the system's."
+        if tuple(state["shape"]) != self._shape:
+            raise ValueError(
+                f"Checkpoint grid shape {tuple(state['shape'])} must match "
+                f"the system's {self._shape}.")
+        # species identity (name, count, charge) must match: restoring a
+        # density/potential into a System with different pseudopotentials
+        # would silently mix them with the wrong recpot tables
+        ckpt_ions = [(n, c, z) for (n, _, c, z) in state.get("ions", [])]
+        self_ions = [(n, c, z) for (n, _, c, z) in self._ions]
+        if ckpt_ions != self_ions:
+            raise ValueError(
+                f"Checkpoint ions {ckpt_ions} do not match the system's "
+                f"{self_ions} (species name/count/charge).")
         self._box_vecs = jnp.asarray(state["box_vecs"])
         self._frac_ion_coords = jnp.asarray(state["frac_ion_coords"])
         self._den = jnp.asarray(state["den"])

@@ -70,6 +70,28 @@ def test_lbfgs_and_tpgd_agree():
     assert abs(E_lbfgs - sys_.energy("eV")) < 5e-4
 
 
+def test_jit_loop_matches_host_loop_all_conv_targets():
+    """The whole-optimization while_loop path must land on the host loop's
+    energy under every stopping criterion (reference criteria:
+    system.py:866-906)."""
+    import pytest
+
+    for conv_target, tol in (("dE", 1e-7), ("dEdchi", 1e-4), ("euler", 1e-4)):
+        sys_host = _fcc_al_system(WangTeter, ecut_eV=600)
+        sys_host.optimize_density(ntol=tol, conv_target=conv_target)
+        sys_jit = _fcc_al_system(WangTeter, ecut_eV=600)
+        sys_jit.optimize_density(ntol=tol, conv_target=conv_target,
+                                 jit_loop=True)
+        assert abs(sys_host.energy("eV") - sys_jit.energy("eV")) < 1e-6, \
+            conv_target
+
+    sys_ = _fcc_al_system(WangTeter, ecut_eV=600)
+    with pytest.raises(ValueError):
+        sys_.optimize_density(jit_loop=True, n_method="TPGD")
+    with pytest.raises(ValueError):
+        sys_.optimize_density(jit_loop=True, conv_target="bogus")
+
+
 def test_convergence_measures_consistent():
     """max |dE/dchi| reported by the optimizer equals the value rebuilt from
     the density-space functional derivative and the chain rule."""

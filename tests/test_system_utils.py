@@ -37,6 +37,25 @@ def test_system_checkpoint_roundtrip(tmp_path):
     assert np.allclose(np.asarray(sys2.density()), np.asarray(sys1.density()))
 
 
+def test_checkpoint_rejects_mismatched_system(tmp_path):
+    import pickle
+    import pytest
+
+    sys1 = _fcc_al()
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    sys1.save(path)
+
+    wrong_shape = _fcc_al(shape=(10, 10, 10))
+    with pytest.raises(ValueError):
+        wrong_shape.load(path)
+
+    with open(path, "rb") as fh:
+        state = pickle.load(fh)
+    state["ions"] = [("Li", "li.gga.recpot", 1, 1)]
+    with pytest.raises(ValueError):
+        sys1.load_state_dict(state)
+
+
 def test_step_timer():
     t = StepTimer().start()
     x = jnp.arange(1000.0)
