@@ -122,7 +122,7 @@ def expi(theta):
     return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def _qmean32(x):
     n = x.size
     cols = 512
@@ -134,17 +134,16 @@ def _qmean32(x):
     return jnp.sum(partial.astype(jnp.float64)) / n
 
 
-def _qmean32_fwd(x):
-    return _qmean32(x), (x.shape, x.size)
-
-
-def _qmean32_bwd(res, ct):
-    shape, n = res
-    # cast the f64 cotangent back to f32 so the whole backward stays f32
-    return (jnp.full(shape, (ct / n).astype(jnp.float32)),)
-
-
-_qmean32.defvjp(_qmean32_fwd, _qmean32_bwd)
+@_qmean32.defjvp
+def _qmean32_jvp(primals, tangents):
+    # Linear (and transposable) tangent rule: a plain f32 mean cast to f64.
+    # Reverse mode transposes it to full(ct/n) in f32 — gradients never leave
+    # f32 — and, being custom_jvp (not custom_vjp), arbitrary-order autodiff
+    # composes: the f32 tier supports jvp-of-grad (HVPs, preconditioner
+    # kernels, second derivatives), which custom_vjp forbids beyond order 1.
+    x, = primals
+    t, = tangents
+    return _qmean32(x), jnp.mean(t).astype(jnp.float64)
 
 
 def qmean(x):
@@ -162,8 +161,9 @@ def qmean(x):
     ONLY use this for terminal scalars (energies); means that feed array
     arithmetic (n0, N_tilde) must stay in the working dtype or they would
     upcast the whole graph.  f64 inputs take a plain ``jnp.mean`` —
-    bit-identical correctness tier, and fully jvp-capable (the f32 branch
-    has no JVP rule: second derivatives belong to the f64 tier).
+    bit-identical correctness tier.  Both branches support arbitrary-order
+    autodiff (the f32 branch is custom_jvp with a linear tangent rule), so
+    HVPs and second derivatives work on the TPU f32 tier too.
     """
     if x.dtype != jnp.float32:
         return jnp.mean(x)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["LBFGSState", "lbfgs_init", "lbfgs_iterations", "lbfgs_minimize",
-           "TPGDState", "tpgd_init", "tpgd_step"]
+           "TPGDState", "tpgd_init", "tpgd_step", "tpgd_minimize",
+           "tpgd_iteration"]
 
 
 class LBFGSState(NamedTuple):
@@ -178,6 +179,108 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
             jnp.zeros((), jnp.int32))
     st, _, cnt, it = jax.lax.while_loop(cond, body, init)
     return st, it, cnt >= conv_count
+
+
+def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
+                  max_iter=1000, f_scale=1.0, skip_iters=2, apply_H0=None,
+                  stop_fn=None, stag_k=6):
+    """Whole preconditioned two-point gradient descent as ONE XLA program.
+
+    Steps ``x <- x - H M g`` where ``M`` is the (optional) spectral
+    preconditioner and ``H`` the secant scale ``y.s / y.My`` from the last
+    move — i.e. Barzilai-Borwein in the M-inner product (``M=None`` reduces
+    to the reference's TPGD, two_point_gradient_descent.py:25-65, in
+    whole-program form).
+
+    Rationale vs ``lbfgs_minimize`` on the f32 tier: near the minimum the
+    L-BFGS curvature pairs (s, y) become f32-noise-dominated and poison the
+    two-loop direction — the iterate then bounces at |dE| ~ 1e-4 eV forever
+    and the dE stopping rule never fires.  The memoryless preconditioned
+    iteration has no state to poison: with the exact uniform-density kernel
+    it converges near-Newton fast for simple metals, and once steps fall
+    below f32 resolution the iterate hits an exact fixed point (dE == 0),
+    so the reference's dE criterion fires cleanly.  See
+    docs/design.md for measurements.
+
+    Same stopping rule as ``lbfgs_minimize`` with block=1: ``stop_var <
+    ntol`` for ``conv_count`` consecutive iterations, checked after
+    ``skip_iters`` iterations.  Returns (state, n_iters, converged).
+    """
+    f0, g0 = value_and_grad(x0)
+    g0 = g0.reshape(-1)
+    x0f = x0.reshape(-1)
+
+    dt = x0f.dtype
+
+    def cond(carry):
+        st, cnt, it, damp, stag = carry
+        return jnp.logical_and(cnt < conv_count, it < max_iter)
+
+    def body(carry):
+        st, cnt, it, damp, stag = carry
+        st_new = tpgd_iteration(value_and_grad, st, lr, apply_H0=apply_H0,
+                                scale=damp)
+        # freeze converged lanes: under vmap (batched EOS volume scans) the
+        # while_loop body keeps running until EVERY lane's cond is false, so
+        # a converged lane must stop mutating or its noise bounce could
+        # reset the counter and un-converge it
+        done = cnt >= conv_count
+        st_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), st_new, st)
+        # stagnation-triggered damping: near the minimum, finite-precision
+        # gradient error makes full BB steps bounce (|dE| plateaus above
+        # ntol while E no longer decreases).  The bounce amplitude is
+        # linear in the step scale, so after ``stag_k`` consecutive
+        # non-decreasing energies we halve the scale — a few halvings force
+        # the iterate onto its floating-point fixed point and the dE
+        # stopping rule fires.  Genuine (non-monotone) BB progress rarely
+        # fails to improve E ``stag_k`` times in a row, and damping only
+        # ever shrinks steps near stationarity, so the fixed point is
+        # unchanged.
+        improved = st_new.f < st.f
+        stag = jnp.where(improved, 0, stag + 1)
+        trigger = stag >= stag_k
+        damp = jnp.where(trigger, damp * 0.5, damp)
+        stag = jnp.where(trigger, 0, stag)
+        if stop_fn is None:
+            stop_var = jnp.abs(st_new.f - st.f) * f_scale
+        else:
+            stop_var = stop_fn(st_new, st.f)
+        hit = jnp.logical_and(it + 1 > skip_iters, stop_var < ntol)
+        cnt = jnp.where(done, cnt, jnp.where(hit, cnt + 1, 0))
+        return (st_new, cnt, jnp.where(done, it, it + 1), damp, stag)
+
+    st0 = TPGDState(x=x0f, f=f0, g=g0, x_prev=x0f, g_prev=g0,
+                    n_iter=jnp.zeros((), jnp.int32))
+    init = (st0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.ones((), dt), jnp.zeros((), jnp.int32))
+    st, cnt, it, _, _ = jax.lax.while_loop(cond, body, init)
+    return st, it, cnt >= conv_count
+
+
+def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
+    """One (preconditioned) TPGD update — the steady-state hot-path step
+    that ``tpgd_minimize`` loops; exposed for benchmarking/rooflining.
+    ``scale`` damps the BB step (see tpgd_minimize's stagnation logic)."""
+    dt = st.x.dtype
+    M = (lambda v: v) if apply_H0 is None else apply_H0
+    first = st.n_iter == 0
+    y = st.g - st.g_prev
+    s = st.x - st.x_prev
+    My = M(y)
+    ys = jnp.dot(y, s)
+    yMy = jnp.dot(y, My)
+    H = jnp.where(jnp.logical_or(first, ys <= 0.0), jnp.ones((), dt),
+                  ys / jnp.where(yMy != 0, yMy, 1.0))
+    d = -M(st.g)
+    # first step: gradient-magnitude-calibrated like the L-BFGS path
+    t = jnp.where(first,
+                  jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(d))) * lr,
+                  H * scale)
+    x_new = st.x + t * d
+    f_new, g_new = value_and_grad(x_new)
+    return TPGDState(x=x_new, f=f_new, g=g_new.reshape(-1),
+                     x_prev=st.x, g_prev=st.g, n_iter=st.n_iter + 1)
 
 
 class TPGDState(NamedTuple):

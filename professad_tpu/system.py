@@ -345,6 +345,61 @@ class System:
 
         return apply_H0
 
+    def _exact_precond(self, box_vecs, N_elec):
+        """Exact uniform-density spectral preconditioner.
+
+        The Hessian of the density-terms energy at the uniform density is
+        translation invariant, hence diagonal in k-space — so ONE
+        Hessian-vector product against a delta perturbation yields the full
+        kernel row, and its FFT is the exact diagonal F(k) for ANY term set
+        (Lindhard-patched WT/SM/WGC kernels, PBE gradient terms, Hartree,
+        the lot).  Near the minimum the chi-space Hessian of the
+        norm-constrained problem is 4 n0^2 F(k) per k != 0 mode (the
+        chemical-potential term cancels through the constraint), so
+        M = 1/F(k) preconditions the true curvature exactly in the
+        uniform-gas limit; the residual condition number comes only from the
+        density's non-uniformity.  Supersedes the Teter-style
+        ``_spectral_precond`` (kept for comparison), which approximates the
+        kinetic response by TF+vW and ignores XC — inexact at intermediate
+        k, where most modes of a fine grid live.
+
+        Runs in the working dtype (the f32 tier's ``qmean`` is custom_jvp
+        with a linear tangent rule, so forward-over-reverse traces cleanly)
+        and is jittable with traced ``box_vecs`` — inside the whole-opt
+        while_loop program it costs one HVP (~2x one energy+grad) at setup.
+        """
+        M = self._exact_precond_kernel(box_vecs, N_elec)
+        return self._apply_spectral(M)
+
+    def _exact_precond_kernel(self, box_vecs, N_elec):
+        """The exact uniform-density inverse-Hessian diagonal M(k) as an
+        rfftn-half-spectrum array (see ``_exact_precond``)."""
+        shape = self._shape
+        dt = box_vecs.dtype
+        vol = volume(box_vecs)
+        n0_field = jnp.full(shape, N_elec / vol, dtype=dt)
+        delta = jnp.zeros(shape, dt).at[0, 0, 0].set(1.0)
+        v_zero = jnp.zeros(shape, dt)  # IonElectron is linear in n: no Hessian
+
+        grad_E = jax.grad(
+            lambda den: self._density_terms_energy(box_vecs, den, v_zero))
+        _, hvp = jax.jvp(grad_E, (n0_field,), (delta,))
+        F = jnp.fft.rfftn(hvp).real.astype(dt)
+        # Positive floor: k=0 carries no Hartree (zeroed there) and is
+        # projected out by the normalization anyway; guard against roundoff
+        # or exotic functionals driving isolated modes non-SPD.
+        floor = 1e-8 * jnp.max(F)
+        return 1.0 / jnp.maximum(F, floor)
+
+    def _apply_spectral(self, M):
+        shape = self._shape
+
+        def apply_H0(q):
+            Q = jnp.fft.rfftn(q.reshape(shape))
+            return jnp.fft.irfftn(M * Q, shape).reshape(q.shape)
+
+        return apply_H0
+
     def _build_compiled(self):
         """Compile the hot closures once per System."""
         shape = self._shape
@@ -362,7 +417,7 @@ class System:
 
         def lbfgs_outer_pc(state, box_vecs, v_ext, N_elec, lr):
             vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
-            aH0 = self._spectral_precond(box_vecs, N_elec)
+            aH0 = self._exact_precond(box_vecs, N_elec)
             return solvers.lbfgs_iterations(vg, state, 6, lr, apply_H0=aH0)
 
         self._jit_lbfgs_outer_pc = jax.jit(lbfgs_outer_pc)
@@ -374,19 +429,39 @@ class System:
         self._jit_tpgd_outer = jax.jit(tpgd_outer)
 
         def lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
-                       max_iter, conv_target="dE", precondition=False):
+                       max_iter, conv_target="dE", precondition=False,
+                       block=6, skip_iters=5):
             vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
-            aH0 = (self._spectral_precond(box_vecs, N_elec) if precondition
+            aH0 = (self._exact_precond(box_vecs, N_elec) if precondition
                    else None)
             stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec)
             return solvers.lbfgs_minimize(vg, chi0, lr=lr, ntol=ntol,
                                           conv_count=conv_count,
                                           max_iter=max_iter,
                                           f_scale=EV_PER_HA, apply_H0=aH0,
-                                          stop_fn=stop_fn)
+                                          stop_fn=stop_fn, block=block,
+                                          skip_iters=skip_iters)
 
         self._jit_lbfgs_full = jax.jit(
-            lbfgs_full, static_argnames=("conv_target", "precondition"))
+            lbfgs_full,
+            static_argnames=("conv_target", "precondition", "block"))
+
+        def tpgd_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
+                      max_iter, conv_target="dE", precondition=False,
+                      skip_iters=5):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+            aH0 = (self._exact_precond(box_vecs, N_elec) if precondition
+                   else None)
+            stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec)
+            return solvers.tpgd_minimize(vg, chi0, lr=lr, ntol=ntol,
+                                         conv_count=conv_count,
+                                         max_iter=max_iter,
+                                         f_scale=EV_PER_HA, apply_H0=aH0,
+                                         stop_fn=stop_fn,
+                                         skip_iters=skip_iters)
+
+        self._jit_tpgd_full = jax.jit(
+            tpgd_full, static_argnames=("conv_target", "precondition"))
 
     def _make_stop_fn(self, conv_target, box_vecs, v_ext, N_elec):
         """Convergence measure for the jitted while-loop optimizer, one
@@ -415,9 +490,9 @@ class System:
 
     # -- ion-ion --------------------------------------------------------
 
-    def _Rc_Rd(self):
+    def _Rc_Rd(self, box=None):
         """Cutoff/damping heuristic from the CONCRETE cell (system.py:744-751)."""
-        bv = np.asarray(self._box_vecs)
+        bv = np.asarray(self._box_vecs if box is None else box)
         inv_T = np.linalg.inv(bv.T)
         h = 1.0 / np.sqrt(np.sum(inv_T**2, axis=1))
         h_max = float(np.max(h))
@@ -510,7 +585,8 @@ class System:
     def optimize_density(self, ntol=1e-7, n_conv_cond_count=3, n_method="LBFGS",
                          n_step_size=0.1, n_maxiter=1000, conv_target="dE",
                          n_verbose=False, from_uniform=False, potentials=None,
-                         jit_loop=False, precondition=False):
+                         jit_loop=False, precondition=False, block=6,
+                         skip_iters=5, mesh=None):
         """Minimize the energy over the density (system.py:774-908).
 
         Each outer iteration is one compiled XLA program (6 L-BFGS inner
@@ -524,10 +600,19 @@ class System:
         ``conv_target`` criteria supported, autodiff gradients only,
         LBFGS only).
 
-        ``precondition=True`` applies the spectral (Teter-style)
-        preconditioner as the L-BFGS initial inverse Hessian — ~2x fewer
-        iterations at 48^3 and more at finer grids (LBFGS only; new vs the
-        reference).
+        ``precondition=True`` applies the exact uniform-density spectral
+        preconditioner (``_exact_precond``) as the L-BFGS initial inverse
+        Hessian (LBFGS only; new vs the reference).  With
+        ``n_step_size=1.0`` the preconditioned two-loop direction is a
+        near-Newton step: bulk fcc-Al converges in 5-7 iterations instead
+        of ~180.
+
+        ``block`` / ``skip_iters`` (jit_loop only) tune the stopping rule:
+        the convergence measure is evaluated once per ``block`` inner
+        iterations, only after ``skip_iters`` outer steps.  Defaults match
+        the reference/host loop (6 and 5); the preconditioned fast path
+        wants ``block=1, skip_iters=2`` so the exit isn't floored at
+        (5+conv_count)*6 iterations.
         """
         if from_uniform:
             self.initialize_density()
@@ -545,17 +630,43 @@ class System:
         chi0 = safe_sqrt(self._den).reshape(-1)
         args = (self._box_vecs, self._v_ext, self._N_elec)
 
+        if mesh is not None:
+            # Distributed path: shard the flat chi vector and the external
+            # potential along the mesh's "grid" axis (spatial slab
+            # decomposition of the first FFT axis); GSPMD then partitions
+            # the whole while_loop program — sharded FFTs with all-to-all
+            # transposes over ICI, psum'd energy reductions.  Input
+            # shardings define the layout; no per-op annotations needed.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if not jit_loop:
+                raise ValueError("mesh= requires jit_loop=True")
+            if "grid" not in mesh.axis_names:
+                raise ValueError('mesh must have a "grid" axis')
+            chi0 = jax.device_put(chi0, NamedSharding(mesh, P("grid")))
+            v_sh = jax.device_put(self._v_ext,
+                                  NamedSharding(mesh, P("grid", None, None)))
+            box_r = jax.device_put(self._box_vecs, NamedSharding(mesh, P()))
+            args = (box_r, v_sh, self._N_elec)
+
         if jit_loop:
             if potentials is not None:
                 raise ValueError("jit_loop supports autodiff gradients only")
-            if n_method != "LBFGS":
-                raise ValueError("jit_loop supports n_method='LBFGS' only")
+            if n_method not in ("LBFGS", "TPGD"):
+                raise ValueError(
+                    "jit_loop supports n_method 'LBFGS' or 'TPGD' only")
             if conv_target not in ("dE", "dEdchi", "euler"):
                 raise ValueError("conv_target must be 'dE', 'dEdchi' or 'euler'")
-            state, n_it, conv = self._jit_lbfgs_full(
-                chi0, *args, n_step_size, ntol, n_conv_cond_count,
-                round(n_maxiter), conv_target=conv_target,
-                precondition=precondition)
+            if n_method == "TPGD":
+                state, n_it, conv = self._jit_tpgd_full(
+                    chi0, *args, n_step_size, ntol, n_conv_cond_count,
+                    round(n_maxiter), conv_target=conv_target,
+                    precondition=precondition, skip_iters=skip_iters)
+            else:
+                state, n_it, conv = self._jit_lbfgs_full(
+                    chi0, *args, n_step_size, ntol, n_conv_cond_count,
+                    round(n_maxiter), conv_target=conv_target,
+                    precondition=precondition, block=block,
+                    skip_iters=skip_iters)
             self._set_den_from_chi(state.x)
             self._ene = self._compute_energy(
                 use_ion_cache=self._Eion_cache is not None)
@@ -782,7 +893,7 @@ class System:
             dEdV = jax.grad(lambda v: energy(chi0, v))(vol0)
             return float(-dEdV)
 
-        pc = self._spectral_precond(self._box_vecs, self._N_elec)
+        pc = self._exact_precond(self._box_vecs, self._N_elec)
 
         def Ebar(vol):
             chi = implicit_ground_state(energy, chi0, (vol,), precond=pc)
@@ -818,7 +929,7 @@ class System:
                 e = e + self._ion_ion_interaction(h, frac @ h)
             return e
 
-        pc = self._spectral_precond(box0, N_elec)
+        pc = self._exact_precond(box0, N_elec)
 
         def Ebar(h):
             chi = implicit_ground_state(energy, chi0, (h,), precond=pc)
@@ -876,7 +987,7 @@ class System:
                 e = e + self._ion_ion_interaction(box0, cart)
             return e
 
-        pc = self._spectral_precond(box0, N_elec)
+        pc = self._exact_precond(box0, N_elec)
 
         def forces_full(cart):
             Ebar = lambda c: energy(
@@ -944,7 +1055,7 @@ class System:
                     E = E + f(box_vecs, den)
             return E
 
-        pc = self._spectral_precond(box_vecs, N_elec)
+        pc = self._exact_precond(box_vecs, N_elec)
         E_ion = (self._ion_ion_interaction(box_vecs,
                                            self._frac_ion_coords @ box_vecs)
                  if self._has_ion_ion() else 0.0)
@@ -1023,9 +1134,16 @@ class System:
     # ------------------------------------------------------------------
 
     def eos_fit(self, f=0.05, N=9, eos="bm", verbose=False, plot=False,
-                **den_opt_kwargs):
+                batched=False, mesh=None, **den_opt_kwargs):
         """Murnaghan / Birch-Murnaghan EOS fit over a volume scan
-        (system.py:568-621)."""
+        (system.py:568-621).
+
+        ``batched=True`` (new vs the reference, which scans volumes
+        serially): solve ALL volume points simultaneously with one vmapped
+        whole-optimization program (exact-preconditioned TPGD), optionally
+        data-parallel over a mesh's "batch" axis — the natural TPU layout
+        for EOS scans.  Leaves the System's state untouched.
+        """
         den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
                           "n_method": "LBFGS", "n_step_size": 0.1,
                           "n_maxiter": 1000, "conv_target": "dE",
@@ -1035,23 +1153,100 @@ class System:
         pred_v0 = self.volume("a3")
         norm_box_vecs = self.lattice_vectors("a") / pred_v0 ** (1.0 / 3.0)
         vs = pred_v0 * np.linspace(1 - f, 1 + f, N)
-        energies, volumes = [], []
-        if verbose:
-            print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
-                                           "Energy [eV per atom]"))
-        for v in vs:
-            self.set_lattice(v ** (1.0 / 3.0) * norm_box_vecs, units="a")
-            self.optimize_density(**den_opt_inputs)
-            vol_per_atom = self.volume("a3") / self._N_ions
-            ene_per_atom = self.energy("eV") / self._N_ions
-            volumes.append(vol_per_atom)
-            energies.append(ene_per_atom)
+
+        if batched:
+            volumes, energies = self._eos_scan_batched(
+                vs, np.asarray(norm_box_vecs), mesh,
+                ntol=den_opt_inputs["ntol"],
+                lr=den_opt_kwargs.get("n_step_size", 1.0),
+                max_iter=round(den_opt_inputs["n_maxiter"]))
             if verbose:
-                print("{:^22.10f} {:^22.10f}".format(vol_per_atom, ene_per_atom))
+                print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
+                                               "Energy [eV per atom]"))
+                for v, e in zip(volumes, energies):
+                    print("{:^22.10f} {:^22.10f}".format(v, e))
+        else:
+            energies, volumes = [], []
+            if verbose:
+                print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
+                                               "Energy [eV per atom]"))
+            for v in vs:
+                self.set_lattice(v ** (1.0 / 3.0) * norm_box_vecs, units="a")
+                self.optimize_density(**den_opt_inputs)
+                vol_per_atom = self.volume("a3") / self._N_ions
+                ene_per_atom = self.energy("eV") / self._N_ions
+                volumes.append(vol_per_atom)
+                energies.append(ene_per_atom)
+                if verbose:
+                    print("{:^22.10f} {:^22.10f}".format(vol_per_atom,
+                                                         ene_per_atom))
         params, err = fit_eos(volumes, energies, eos, plot)
         params[0] *= self.GPa_per_atomic / (self.eV_per_Ha / self.A_per_b**3)
         err[0] *= self.GPa_per_atomic / (self.eV_per_Ha / self.A_per_b**3)
         return params, err
+
+    def _eos_scan_batched(self, vs_A3, norm_box_A, mesh, ntol, lr, max_iter):
+        """Batched volume scan: one vmapped whole-optimization XLA program
+        over all volume points (the "batch" mesh axis consumer).
+
+        Returns (volumes [A^3/atom], energies [eV/atom]) as python lists.
+        """
+        frac = self._frac_ion_coords
+        has_ii = self._has_ion_ion()
+        boxes, vexts, chis, E_ions = [], [], [], []
+        for v in vs_A3:
+            box_b = jnp.asarray((v ** (1.0 / 3.0)) * norm_box_A / self.A_per_b)
+            vol_b = float(volume(box_b))
+            if self._needs_vext():
+                v_ext = self._potential_from_ions(box_b, frac @ box_b)
+            else:
+                v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
+            chi0 = jnp.full(self._shape,
+                            np.sqrt(self._N_elec / vol_b)).reshape(-1)
+            if has_ii:
+                Rc, Rd = self._Rc_Rd(box=box_b)
+                shifts = ion_utils.neighbor_shifts(np.asarray(box_b), Rc)
+                E_ii = float(ion_utils.ion_interaction_sum(
+                    box_b, frac @ box_b, self._charges, Rc, Rd, shifts=shifts))
+            else:
+                E_ii = 0.0
+            boxes.append(box_b)
+            vexts.append(v_ext)
+            chis.append(chi0)
+            E_ions.append(E_ii)
+
+        box_b = jnp.stack(boxes)
+        vext_b = jnp.stack(vexts)
+        chi_b = jnp.stack(chis)
+        N_elec = self._N_elec
+
+        def solve(chi0, box, v_ext):
+            vg = lambda x: jax.value_and_grad(self._chi_energy)(
+                x, box, v_ext, N_elec)
+            aH0 = self._exact_precond(box, N_elec)
+            st, it, conv = solvers.tpgd_minimize(
+                vg, chi0, lr=lr, ntol=ntol, max_iter=max_iter,
+                f_scale=EV_PER_HA, apply_H0=aH0, skip_iters=2)
+            return st.f, conv
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if "batch" not in mesh.axis_names:
+                raise ValueError('mesh must have a "batch" axis')
+            sh = NamedSharding(mesh, P("batch"))
+            chi_b = jax.device_put(chi_b, sh)
+            box_b = jax.device_put(box_b, sh)
+            vext_b = jax.device_put(vext_b, sh)
+
+        fs, convs = jax.jit(jax.vmap(solve))(chi_b, box_b, vext_b)
+        fs = np.asarray(fs)
+        if not bool(np.all(np.asarray(convs))):
+            print("Warning: batched EOS scan: some volume points did not "
+                  "converge")
+        vol_per_atom = [float(v) / self._N_ions for v in vs_A3]
+        ene_per_atom = [(float(f) + E_ii) * self.eV_per_Ha / self._N_ions
+                        for f, E_ii in zip(fs, E_ions)]
+        return vol_per_atom, ene_per_atom
 
     # ------------------------------------------------------------------
     # geometry optimization
@@ -1146,6 +1341,9 @@ class System:
             if vary_cell:
                 self._box_vecs = box
                 self._shifts_key = None  # cell changed: refresh image table
+            # geometry changed: the cached ion-ion energy is stale, and
+            # optimize_density would fold it into the reported total energy
+            self._Eion_cache = None
             self._update_ionic_potential()
 
             self.optimize_density(**den_opt_inputs)
@@ -1230,6 +1428,7 @@ class System:
             self._box_vecs = jnp.asarray(box)
             self._frac_ion_coords = jnp.asarray(frac)
             self._shifts_key = None
+            self._Eion_cache = None  # geometry changed: ion-ion cache stale
             self._update_ionic_potential()
 
         apply_params(params)
@@ -1280,19 +1479,42 @@ class System:
 # (all heavy math stays inside the jitted energy/grad closure)
 # ----------------------------------------------------------------------
 
+def _cubic_minimizer(a, fa, ga, b, fb, gb):
+    """Minimizer of the cubic interpolating (a, fa, ga) and (b, fb, gb),
+    clipped to the [a, b] interval (standard Hermite-cubic formula,
+    Nocedal & Wright eq. 3.59)."""
+    lo, hi = (a, b) if a <= b else (b, a)
+    d1 = ga + gb - 3.0 * (fa - fb) / (a - b)
+    disc = d1 * d1 - ga * gb
+    if disc < 0.0 or a == b:
+        return 0.5 * (lo + hi)
+    d2 = np.sqrt(disc) * np.sign(b - a)
+    t = b - (b - a) * ((gb + d2 - d1) / (gb - ga + 2.0 * d2))
+    if not np.isfinite(t):
+        return 0.5 * (lo + hi)
+    return float(min(max(t, lo), hi))
+
+
 class _HostLBFGS:
-    """L-BFGS (history 8) with optional Armijo backtracking, for the tiny
-    geometry parameter vector (<= 3N+9 DOFs).  The reference uses the same
-    split: vendored LBFGSNew over a handful of parameters, with the energy
-    closure doing the heavy lifting (lbfgsnew.py:512-753)."""
+    """L-BFGS (history 8) with a strong-Wolfe cubic-interpolation line
+    search, for the tiny geometry parameter vector (<= 3N+9 DOFs).  The
+    reference uses the same split: vendored LBFGSNew over a handful of
+    parameters, with the energy closure doing the heavy lifting
+    (lbfgsnew.py:512-753; its cubic search: lbfgsnew.py:208-510).  This is
+    the textbook bracket-and-zoom algorithm (Nocedal & Wright, alg. 3.5/3.6)
+    written fresh, with a trust-region cap on |t d|_inf because the
+    frozen-density geometry objective is unbounded below under cell
+    collapse."""
 
     def __init__(self, lr=0.1, history=8, max_iter=6, line_search=True,
-                 max_step=0.2):
+                 max_step=0.2, c1=1e-4, c2=0.9):
         self.lr = lr
         self.history = history
         self.max_iter = max_iter
         self.line_search = line_search
         self.max_step = max_step  # trust region: cap |t d|_inf per iteration
+        self.c1 = c1              # Armijo (sufficient-decrease) constant
+        self.c2 = c2              # curvature (strong-Wolfe) constant
         self.S, self.Y = [], []
         self.n_iter = 0
         self._prev = None  # (x, g)
@@ -1326,13 +1548,21 @@ class _HostLBFGS:
                 s = x - xp
                 y = g - gp
                 ys = np.dot(y, s)
-                if ys > 1e-10 * np.dot(s, s):
+                # curvature filter, plus an absolute scale floor: steps at
+                # machine-epsilon scale (a Wolfe search can converge the
+                # frozen-density surrogate to ~1e-26 within one outer
+                # geometry step) give noise-dominated y that poisons the
+                # two-loop direction for every later outer step
+                s_ok = np.max(np.abs(s)) > 1e-12 * (1.0 + np.max(np.abs(x)))
+                if ys > 1e-10 * np.dot(s, s) and s_ok:
                     self.S.append(s)
                     self.Y.append(y)
                     if len(self.S) > self.history:
                         self.S.pop(0)
                         self.Y.pop(0)
             d = self._direction(g)
+            if np.max(np.abs(d)) <= 1e-13 * (1.0 + np.max(np.abs(x))):
+                break  # surrogate converged to machine precision
             gtd = np.dot(g, d)
             if gtd > 0:  # not a descent direction: reset
                 d, gtd = -g, -np.dot(g, g)
@@ -1351,20 +1581,71 @@ class _HostLBFGS:
                 t = self.max_step / d_inf
             self._prev = (x.copy(), g.copy())
             if self.line_search:
-                for _ in range(25):
-                    f_new, g_new = vg(x + t * d)
-                    f_new = float(f_new)
-                    if np.isfinite(f_new) and f_new <= f + 1e-4 * t * gtd:
-                        break
-                    t *= 0.5
+                t_cap = self.max_step / d_inf
+                t, f, g = self._wolfe_cubic(vg, x, f, g, d, min(t, t_cap),
+                                            t_cap)
                 x = x + t * d
-                f, g = f_new, np.asarray(g_new, dtype=np.float64)
             else:
                 x = x + t * d
                 f, g = vg(x)
                 f, g = float(f), np.asarray(g, dtype=np.float64)
             self.n_iter += 1
         return x
+
+    def _wolfe_cubic(self, vg, x, f0, g0, d, t, t_cap):
+        """Strong-Wolfe line search with cubic interpolation: bracketing
+        phase (expand until the minimum is bracketed) + zoom phase
+        (cubic-interpolated shrink).  Returns (t, f(x+td), grad(x+td))."""
+        c1, c2 = self.c1, self.c2
+        gtd0 = float(np.dot(g0, d))
+
+        def ev(t):
+            f_t, g_t = vg(x + t * d)
+            return float(f_t), np.asarray(g_t, dtype=np.float64)
+
+        t_prev, f_prev, g_prev, gtd_prev = 0.0, f0, g0, gtd0
+        bracket = None
+        for i in range(10):
+            f_t, g_t = ev(t)
+            gtd_t = float(np.dot(g_t, d))
+            if (not np.isfinite(f_t)) or f_t > f0 + c1 * t * gtd0 or \
+                    (i > 0 and f_t >= f_prev):
+                bracket = (t_prev, f_prev, g_prev, gtd_prev, t, f_t, g_t, gtd_t)
+                break
+            if abs(gtd_t) <= -c2 * gtd0:
+                return t, f_t, g_t          # strong Wolfe satisfied
+            if gtd_t >= 0.0:
+                bracket = (t, f_t, g_t, gtd_t, t_prev, f_prev, g_prev, gtd_prev)
+                break
+            if t >= t_cap:
+                return t, f_t, g_t          # trust-region boundary
+            t_prev, f_prev, g_prev, gtd_prev = t, f_t, g_t, gtd_t
+            t = min(2.0 * t, t_cap)
+        if bracket is None:
+            return t_prev, f_prev, g_prev
+
+        # zoom: lo satisfies Armijo with the lower f; hi is the other end
+        t_lo, f_lo, g_lo, gtd_lo, t_hi, f_hi, g_hi, gtd_hi = bracket
+        for _ in range(10):
+            t = _cubic_minimizer(t_lo, f_lo, gtd_lo, t_hi, f_hi, gtd_hi)
+            span = abs(t_hi - t_lo)
+            # safeguard: keep a minimum fraction away from the endpoints
+            lo_end, hi_end = min(t_lo, t_hi), max(t_lo, t_hi)
+            t = min(max(t, lo_end + 0.1 * span), hi_end - 0.1 * span)
+            f_t, g_t = ev(t)
+            gtd_t = float(np.dot(g_t, d))
+            if (not np.isfinite(f_t)) or f_t > f0 + c1 * t * gtd0 or \
+                    f_t >= f_lo:
+                t_hi, f_hi, g_hi, gtd_hi = t, f_t, g_t, gtd_t
+            else:
+                if abs(gtd_t) <= -c2 * gtd0:
+                    return t, f_t, g_t
+                if gtd_t * (t_hi - t_lo) >= 0.0:
+                    t_hi, f_hi, g_hi, gtd_hi = t_lo, f_lo, g_lo, gtd_lo
+                t_lo, f_lo, g_lo, gtd_lo = t, f_t, g_t, gtd_t
+            if span < 1e-12:
+                break
+        return t_lo, f_lo, g_lo
 
 
 class _HostTPGD:

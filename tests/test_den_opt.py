@@ -85,9 +85,19 @@ def test_jit_loop_matches_host_loop_all_conv_targets():
         assert abs(sys_host.energy("eV") - sys_jit.energy("eV")) < 1e-6, \
             conv_target
 
+    # TPGD is also supported under jit_loop (with the optional exact
+    # spectral preconditioner it is the TPU fast path used by bench.py)
+    sys_tpgd = _fcc_al_system(WangTeter, ecut_eV=600)
+    sys_tpgd.optimize_density(ntol=1e-8, jit_loop=True, n_method="TPGD",
+                              n_step_size=1.0, precondition=True,
+                              skip_iters=2)
+    sys_host = _fcc_al_system(WangTeter, ecut_eV=600)
+    sys_host.optimize_density(ntol=1e-8)
+    assert abs(sys_host.energy("eV") - sys_tpgd.energy("eV")) < 1e-6
+
     sys_ = _fcc_al_system(WangTeter, ecut_eV=600)
     with pytest.raises(ValueError):
-        sys_.optimize_density(jit_loop=True, n_method="TPGD")
+        sys_.optimize_density(jit_loop=True, n_method="RPROP")
     with pytest.raises(ValueError):
         sys_.optimize_density(jit_loop=True, conv_target="bogus")
 

@@ -50,6 +50,46 @@ def test_relax_cell_and_ions_bcc_li():
     assert float(jnp.max(jnp.abs(s.stress("eV/a3")))) < 0.003
 
 
+def test_parameterized_geometry_hcp_mg():
+    """The reference's Mg hcp tutorial (tutorial_examples/geometry_optimization/
+    parameterized_geometry_optimization.py): relax hcp Mg over
+    (volume per atom, c/a) with WT-exp + PBE using the cubic-interpolation
+    line search.  At the tutorial's 2000 eV cutoff the reference lands at
+    V = 23.151 A^3/atom, c/a = 1.630 (docs example_geometry_optimization
+    .rst:253); at this test's reduced grid we assert the same basin."""
+    from professad_tpu.models import WangTeterStyleFunctional
+
+    A_PER_B = System.A_per_b
+    wt_exp = WangTeterStyleFunctional((5.0 / 6.0, 5.0 / 6.0, jnp.exp))
+    terms = [IonIon, IonElectron, Hartree, wt_exp.forward,
+             PerdewBurkeErnzerhof]
+
+    def geom(p):
+        vol_per_atom, c_over_a = jnp.abs(p[0]), jnp.abs(p[1])
+        a = ((2.0 * vol_per_atom) / (np.sqrt(3.0) / 2.0 * c_over_a)) ** (1 / 3)
+        box = a * jnp.stack([
+            jnp.asarray([1.0, 0.0, 0.0]),
+            jnp.asarray([-0.5, np.sqrt(3.0) / 2.0, 0.0]),
+            c_over_a * jnp.asarray([0.0, 0.0, 1.0]),
+        ])
+        frac = jnp.asarray([[1 / 3, 2 / 3, 0.75], [2 / 3, 1 / 3, 0.25]])
+        return box, frac
+
+    p0 = jnp.asarray([24.0 / A_PER_B**3, 1.5])
+    box0, frac0 = geom(p0)
+    ions = [["Mg", pot("mg.gga.recpot"), frac0]]
+    s = System(box0, (15, 15, 24), ions, terms, units="b",
+               coord_type="fractional")
+    ok, p_opt = s.optimize_parameterized_geometry(
+        p0, geom, ftol=1e-3, stol=1e-3, g_method="LBFGSlinesearch",
+        g_maxiter=40, ntol=1e-9)
+    assert ok
+    vol_A3 = float(jnp.abs(p_opt[0])) * A_PER_B**3
+    c_over_a = float(jnp.abs(p_opt[1]))
+    assert 21.0 < vol_A3 < 25.5, vol_A3
+    assert 1.55 < c_over_a < 1.70, c_over_a
+
+
 def test_parameterized_geometry_cubic_lattice():
     """Relax fcc-Al over the single lattice-constant parameter; the result
     must be stress-free along the constrained direction."""

@@ -65,6 +65,63 @@ def test_sharded_gradient_matches_single_device():
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-12)
 
 
+def _fcc_al(shape):
+    import os
+    from professad_tpu.system import System
+    from professad_tpu.models import (IonIon, IonElectron,
+                                      PerdewBurkeErnzerhof)
+    box_vecs = 4.050 * jnp.eye(3)
+    frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                        [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+    pot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "potentials", "al.gga.recpot")
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    return System(box_vecs, shape, [["Al", pot, frac]], terms, units="a",
+                  coord_type="fractional")
+
+
+def test_mesh_aware_optimize_density_matches_single_device():
+    """System.optimize_density(mesh=...) runs the FULL whole-program
+    optimization (lax.while_loop L-BFGS) grid-sharded over 8 devices and
+    lands on the single-device density/energy to f64 precision."""
+    s_ref = _fcc_al((16, 16, 16))
+    s_ref.optimize_density(ntol=1e-9, jit_loop=True, precondition=True)
+    E_ref = s_ref.energy("eV")
+
+    mesh = _mesh8()
+    s_sh = _fcc_al((16, 16, 16))
+    s_sh.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                          mesh=mesh)
+    assert abs(s_sh.energy("eV") - E_ref) < 1e-9
+    assert np.allclose(np.asarray(s_sh.density()),
+                       np.asarray(s_ref.density()), atol=1e-10)
+
+    # the TPGD fast path shards the same way
+    s_t = _fcc_al((16, 16, 16))
+    s_t.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                         n_method="TPGD", n_step_size=1.0, skip_iters=2,
+                         mesh=mesh)
+    assert abs(s_t.energy("eV") - E_ref) < 1e-7
+
+
+def test_batched_eos_matches_serial():
+    """eos_fit(batched=True) — one vmapped whole-optimization program over
+    all volume points, data-parallel over the mesh "batch" axis — matches
+    the reference-style serial volume scan."""
+    from professad_tpu.parallel import make_mesh
+    devs = jax.devices("cpu")
+    mesh = make_mesh(8, batch=8, devices=devs)  # pure data parallel
+
+    s = _fcc_al((14, 14, 14))
+    params_ser, _ = s.eos_fit(f=0.04, N=8, ntol=1e-9)
+    s2 = _fcc_al((14, 14, 14))
+    params_bat, _ = s2.eos_fit(f=0.04, N=8, ntol=1e-9, batched=True,
+                               mesh=mesh)
+    # (K0 [GPa], K0', E0 [eV/atom], V0 [A^3/atom])
+    assert np.allclose(np.asarray(params_bat), np.asarray(params_ser),
+                       rtol=1e-5), (params_bat, params_ser)
+
+
 def test_sharded_lbfgs_step_matches_single_device():
     """One jitted L-BFGS outer step (6 iterations) on a grid-sharded flat chi
     equals the single-device result."""
