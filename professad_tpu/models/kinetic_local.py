@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt, qmean,
                         reduced_gradient, reduced_gradient_squared,
-                        reduced_laplacian)
+                        reduced_laplacian, powr)
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
 from .base import KineticFunctional
 
@@ -25,7 +25,7 @@ TF_COEFF = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0)
 
 def ThomasFermi(box_vecs, den):
     """T_TF = c_TF int n^{5/3} (parity: functionals.py:207-224)."""
-    return TF_COEFF * qmean(den ** (5.0 / 3.0)) * volume(box_vecs)
+    return TF_COEFF * qmean(powr(den, 5.0 / 3.0)) * volume(box_vecs)
 
 
 def Weizsaecker(box_vecs, den):
@@ -48,7 +48,7 @@ def vWGTF1(box_vecs, den):
     """vWGTF1: G(d) = 0.9892 d^{-1.2994} (parity: functionals.py:251-274)."""
     d = den / _mean_density(box_vecs, den)
     G = 0.9892 * d ** (-1.2994)
-    TF_ked = TF_COEFF * den ** (5.0 / 3.0)
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
     return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
 
 
@@ -57,14 +57,14 @@ def vWGTF2(box_vecs, den):
     d = den / _mean_density(box_vecs, den)
     ELF = 0.5 * (1.0 + jnp.tanh(5.7001 * d ** 0.2563 - 5.7001))
     G = jnp.sqrt(1.0 / ELF - 1.0)
-    TF_ked = TF_COEFF * den ** (5.0 / 3.0)
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
     return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
 
 
 def LuoKarasievTrickey(box_vecs, den):
     """LKT GGA: F_theta = 1/cosh(1.3 s), s clamped at 100 against NaN grads
     (parity: functionals.py:309-331)."""
-    TF_ked = TF_COEFF * den ** (5.0 / 3.0)
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
     kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
     s = jnp.minimum(reduced_gradient(kx, ky, kz, den), 100.0)
     F_pauli = 1.0 / jnp.cosh(1.3 * s)
@@ -107,7 +107,7 @@ class PauliGaussian(KineticFunctional):
         self._set(40.0 / 27.0, 0.25, 0.4, 0.2)
 
     def apply(self, params, box_vecs, den):
-        TF_ked = TF_COEFF * den ** (5.0 / 3.0)
+        TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
         kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
         s2 = reduced_gradient_squared(kx, ky, kz, den)
         q = reduced_laplacian(k2, den)
@@ -200,7 +200,7 @@ class YukawaGGA(KineticFunctional):
     # -- ladder management -----------------------------------------------
     def prepare(self, box_vecs, den):
         """Cache a static xi ladder from a concrete density (for tracing)."""
-        k_F = (3.0 * np.pi**2 * den) ** (1.0 / 3.0)
+        k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
         xis = float(self.params["alpha"]) * k_F
         lo = float(jnp.min(xis)) / self.ladder_margin
         hi = float(jnp.max(xis)) * self.ladder_margin
@@ -209,7 +209,7 @@ class YukawaGGA(KineticFunctional):
 
     def yukawa_descriptor(self, params, k2, den):
         """Yukawa descriptor y(r) (parity: functionals.py:450-475)."""
-        k_F = (3.0 * np.pi**2 * den) ** (1.0 / 3.0)
+        k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
         xis = params["alpha"] * k_F
         g = den ** params["beta"]
 
@@ -235,5 +235,5 @@ class YukawaGGA(KineticFunctional):
         s2 = reduced_gradient_squared(kx, ky, kz, den)
         q = reduced_laplacian(k2, den)
         F_pauli = self.F_pauli(y, s2, q)
-        TF_ked = TF_COEFF * den ** (5.0 / 3.0)
+        TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
         return Weizsaecker(box_vecs, den) + qmean(TF_ked * F_pauli) * vol

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, safe_sqrt, grad_dot_grad, qmean,
-                        reduced_gradient_squared)
+                        reduced_gradient_squared, powr, log_hp)
 from ..ops.interp import interpolate
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
 from ..utils.constants import EV_PER_HA
@@ -46,7 +46,7 @@ def G_inv_lind_analytical(eta):
     """G^{-1}_Lindhard(eta); removable singularities NOT patched
     (parity: functionals.py:617-618)."""
     return (0.5 + ((1.0 - eta * eta) / (4.0 * eta))
-            * jnp.log(jnp.abs((1.0 + eta) / (1.0 - eta))))
+            * log_hp(jnp.abs((1.0 + eta) / (1.0 - eta))))
 
 
 def G_inv_lind(eta):
@@ -97,8 +97,8 @@ def non_local_KEF(box_vecs, den, alpha, beta):
     eta, G_inv = G_inv_lindhard(box_vecs, den)
     kernel = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
               * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
-    conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(den ** beta - n0 ** beta), den.shape)
-    return TF_COEFF * qmean((den ** alpha - n0 ** alpha) * conv) * vol
+    conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(powr(den, beta) - n0 ** beta), den.shape)
+    return TF_COEFF * qmean((powr(den, alpha) - n0 ** alpha) * conv) * vol
 
 
 def WangTeter(box_vecs, den):
@@ -247,14 +247,14 @@ def _wgc99_kernel(eta, alpha, beta, gamma, num_terms=100):
         H1 = C1 * x * e**(x - 1) + C2 * y * e**(y - 1)
         H2 = C1 * x * (x - 1) * e**(x - 2) + C2 * y * (y - 1) * e**(y - 2)
     elif v == 0:
-        ln = jnp.log(e)
+        ln = log_hp(e)
         H0 = e**u * (C2 * ln + C1)
         H1 = C2 * e**(u - 1) * (1 + u * ln) + C1 * u * e**(u - 1)
         H2 = (C2 * ((u - 1) * e**(u - 2) * (1 + u * ln) + e**(u - 2))
               + C1 * u * (u - 1) * e**(u - 2))
     else:
         sqrtv = float(np.sqrt(-v))
-        ln = jnp.log(e)
+        ln = log_hp(e)
         tc = jnp.cos(sqrtv * ln)
         ts = jnp.sin(sqrtv * ln)
         H0 = e**u * (C1 * tc + C2 * ts)
@@ -325,7 +325,7 @@ class WangGovindCarter99(KineticFunctional):
         K3 = (eta * eta * w2 + (1.0 + gamma) * eta * w1) / (36.0 * n_ref**2)
 
         theta = den - n_ref
-        nb = den ** beta
+        nb = powr(den, beta)
         shape = den.shape
 
         def conv_with(kern, field):
@@ -338,7 +338,7 @@ class WangGovindCarter99(KineticFunctional):
                 + conv_with(K2, 0.5 * nb * theta**2)
                 + theta * conv_with(K3, nb * theta))
 
-        T_NL = TF_COEFF * qmean(den ** alpha * conv) * vol
+        T_NL = TF_COEFF * qmean(powr(den, alpha) * conv) * vol
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
 
@@ -414,15 +414,15 @@ class FoleyMadden(KineticFunctional):
 
         kernel = (TF_COEFF * 5.0 / (9.0 * alpha**2 * n0 ** (2.0 * alpha - 5.0 / 3.0))
                   * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
-        conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(den**alpha - n0**alpha), den.shape)
-        NL1 = qmean((den**alpha - n0**alpha) * conv) * vol
+        conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(powr(den, alpha) - n0**alpha), den.shape)
+        NL1 = qmean((powr(den, alpha) - n0**alpha) * conv) * vol
 
         K_delta = (alpha**2 * n0 ** (2.0 * alpha - 1.0) / 18.0 * k_F**2
                    * (6.0 * alpha - 5.0) * kernel)
 
         f1, f2, f3, f4, f5, f6, f7 = self._piecewise_fits(q)
 
-        delta_nb_ft = jnp.fft.rfftn(den**beta - n0**beta)
+        delta_nb_ft = jnp.fft.rfftn(powr(den, beta) - n0**beta)
         shape = den.shape
 
         def iconv(kern):
@@ -442,7 +442,7 @@ class FoleyMadden(KineticFunctional):
         F10 = iconv(f7)
         F11 = iconv(K_delta)
 
-        delta_nb = den**beta - n0**beta
+        delta_nb = powr(den, beta) - n0**beta
         aux = (-13.0 / 540.0 * F1**3 - F2 * F3**2 / 40.0 + F4 * F3 * F1 / 20.0
                + 3.0 * F5 * F6**2 + 3.0 * F7 * F8**2 + 3.0 * F9 * F10**2
                + 3.0 * F11 * delta_nb**2)
@@ -471,7 +471,7 @@ def G_inv_gap(box_vecs, den, E_gap):
     val = (0.5 - delta * (jnp.arctan(aux_p / delta) + jnp.arctan(aux_m / delta))
            / (8.0 * e)
            + (delta * delta / (128.0 * e**3) + 1.0 / (8.0 * e) - e / 8.0)
-           * jnp.log((delta * delta + aux_p**2) / (delta * delta + aux_m**2)))
+           * log_hp((delta * delta + aux_p**2) / (delta * delta + aux_m**2)))
     origin = jnp.where(delta != 0.0, 0.0, 1.0)
     val = jnp.where(nz, val, origin)
     if eta.dtype == jnp.float32:
@@ -500,14 +500,14 @@ def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
     n0 = N_elec / vol
 
     eta, G_inv = G_inv_gap(box_vecs, den, E_gap)
-    g_tilde = jnp.fft.rfftn(den ** beta)
+    g_tilde = jnp.fft.rfftn(powr(den, beta))
 
     nz = eta != 0.0
     G_safe = jnp.where(nz, G_inv, 1.0)
     kern = jnp.where(nz, 1.0 / G_safe - 3.0 * eta * eta - 1.0, 0.0)
     conv = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
             * jnp.fft.irfftn(kern * g_tilde, den.shape))
-    T_NL = TF_COEFF * qmean(den ** alpha * conv) * vol
+    T_NL = TF_COEFF * qmean(powr(den, alpha) * conv) * vol
     vW, TF = Weizsaecker(box_vecs, den), ThomasFermi(box_vecs, den)
     return vW + TF * f(T_NL / fprime0 / TF)
 
@@ -621,8 +621,8 @@ class HuangCarter(_HuangCarterBase):
 
     def _xis(self, params, box_vecs, den):
         kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
-        s2 = grad_dot_grad(kx, ky, kz, den) / (den ** (8.0 / 3.0) + 1e-30)
-        k_F = (3.0 * np.pi**2 * den) ** (1.0 / 3.0)
+        s2 = grad_dot_grad(kx, ky, kz, den) / (powr(den, 8.0 / 3.0) + 1e-30)
+        k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
         return 2.0 * k_F * (1.0 + params["lamb"] * s2)
 
 
@@ -646,7 +646,7 @@ class RevisedHuangCarter(_HuangCarterBase):
         kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
         s2 = reduced_gradient_squared(kx, ky, kz, den)
         F = 1.0 + params["a"] * s2 / (1.0 + params["b"] * s2)
-        k_F = (3.0 * np.pi**2 * den) ** (1.0 / 3.0)
+        k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
         return 2.0 * k_F * F
 
 
@@ -715,8 +715,8 @@ class MiGenovaPavanello(KineticFunctional):
         interp_w = interpolate(eta_1D, w_1D, jnp.minimum(eta, eta_1D[-1]))
         MGP_kernel = jnp.where(nz, interp_w + 0.6 * w_corr, 0.0)
 
-        conv = jnp.fft.irfftn(MGP_kernel * jnp.fft.rfftn(den ** (5.0 / 6.0)), den.shape)
-        T_NL = qmean(den ** (5.0 / 6.0) * conv) * vol
+        conv = jnp.fft.irfftn(MGP_kernel * jnp.fft.rfftn(powr(den, 5.0 / 6.0)), den.shape)
+        T_NL = qmean(powr(den, 5.0 / 6.0) * conv) * vol
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
 
@@ -741,7 +741,7 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     e = jnp.where(nz, eta, 1.0)
     sing = jnp.abs(e - 1.0) < 1e-30
     e_safe = jnp.where(sing, 2.0, e)
-    G_der = 0.5 - 0.25 * (e_safe + 1.0 / e_safe) * jnp.log(
+    G_der = 0.5 - 0.25 * (e_safe + 1.0 / e_safe) * log_hp(
         jnp.abs((1.0 + e_safe) / (1.0 - e_safe)))
     # large-eta series (the log form cancels catastrophically, cf.
     # G_inv_lind): G_der = -sum_k 2k/((2k-1)(2k+1)) eta^-2k, k = 1..7;

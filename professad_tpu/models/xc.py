@@ -10,7 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, grad_dot_grad,
-                        reduced_gradient_squared, qmean)
+                        reduced_gradient_squared, qmean, powr, log_hp)
 
 __all__ = [
     "lda_exchange", "perdew_zunger_correlation", "perdew_wang_correlation",
@@ -22,15 +22,15 @@ __all__ = [
 def lda_exchange(box_vecs, den):
     """Dirac LDA exchange (parity: functionals.py:1510-1512)."""
     return (-(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0)
-            * qmean(den ** (4.0 / 3.0)) * volume(box_vecs))
+            * qmean(powr(den, 4.0 / 3.0)) * volume(box_vecs))
 
 
 def perdew_zunger_correlation(box_vecs, den):
     """PZ81 correlation (parity: functionals.py:1515-1521)."""
     gamma, beta1, beta2 = -0.1423, 1.0529, 0.3334
     A, B, C, D = 0.0311, -0.048, 0.002, -0.0116
-    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
-    log_rs = jnp.log(rs)
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
+    log_rs = log_hp(rs)
     eps_hi = A * log_rs + B + C * rs * log_rs + D * rs
     eps_lo = gamma / (1.0 + beta1 * jnp.sqrt(rs) + beta2 * rs)
     eps_c = jnp.where(rs < 1.0, eps_hi, eps_lo)
@@ -42,12 +42,12 @@ def _pw92_eps(rs):
     b1, b2, b3, b4 = 7.5957, 3.5876, 1.6382, 0.49294
     srs = jnp.sqrt(rs)
     zeta = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
-    return -2.0 * A * (1.0 + alpha * rs) * jnp.log(1.0 + 1.0 / zeta)
+    return -2.0 * A * (1.0 + alpha * rs) * log_hp(1.0 + 1.0 / zeta)
 
 
 def perdew_wang_correlation(box_vecs, den):
     """PW92 correlation (parity: functionals.py:1524-1530)."""
-    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
     return qmean(_pw92_eps(rs) * den) * volume(box_vecs)
 
 
@@ -55,8 +55,8 @@ def chachiyo_correlation(box_vecs, den):
     """Chachiyo 2016 correlation (parity: functionals.py:1533-1537)."""
     a = float(np.log(2.0) - 1.0) / (2.0 * np.pi**2)  # plain float: keeps f32 weak-typing
     b = 20.4562557
-    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
-    eps_c = a * jnp.log(1.0 + b / rs + b / rs**2)
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
+    eps_c = a * log_hp(1.0 + b / rs + b / rs**2)
     return qmean(eps_c * den) * volume(box_vecs)
 
 
@@ -78,7 +78,7 @@ def Chachiyo(box_vecs, den):
 def pbe_exchange(box_vecs, den):
     """PBE exchange (parity: functionals.py:1597-1603)."""
     kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
-    eps_x = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * den ** (4.0 / 3.0)
+    eps_x = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * powr(den, 4.0 / 3.0)
     s2 = reduced_gradient_squared(kx, ky, kz, den)
     kappa = 0.804
     mu = 0.066725 * np.pi**2 / 3.0
@@ -89,15 +89,15 @@ def pbe_exchange(box_vecs, den):
 def pbe_correlation(box_vecs, den):
     """PBE correlation (parity: functionals.py:1606-1618, incl. 1e-30 guards)."""
     kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
-    rs = (3.0 / (4.0 * np.pi) / den) ** (1.0 / 3.0)
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
     eps_c = _pw92_eps(rs)
     beta = 0.066725
     gamma = float(1.0 - np.log(2.0)) / np.pi**2  # plain float: keeps f32 weak-typing
     A = beta / gamma / (jnp.exp(-eps_c / gamma) - 1.0 + 1e-30)
     t2 = ((1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0)
-          * grad_dot_grad(kx, ky, kz, den) / (den ** (7.0 / 3.0) + 1e-30))
+          * grad_dot_grad(kx, ky, kz, den) / (powr(den, 7.0 / 3.0) + 1e-30))
     At2 = A * t2
-    H = gamma * jnp.log(1.0 + beta / gamma * t2 * (1.0 + At2) / (1.0 + At2 + At2 * At2))
+    H = gamma * log_hp(1.0 + beta / gamma * t2 * (1.0 + At2) / (1.0 + At2 + At2 * At2))
     return qmean((eps_c + H) * den) * volume(box_vecs)
 
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 __all__ = [
     "wavevecs", "wavenumbers", "grad_i", "grad_dot_grad", "laplacian",
     "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
-    "safe_sqrt", "volume", "rfft_shape", "inv3x3", "imul", "expi",
+    "safe_sqrt", "volume", "rfft_shape", "inv3x3", "imul", "expi", "powr",
+    "log_hp",
 ]
 
 
@@ -176,6 +177,111 @@ def safe_sqrt(x):
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
+def _cbrt_newton(x):
+    """Accurate f32 cube root for positive x: fast-path seed + one Newton
+    step.  TPU's pow/cbrt go through approximate exp/log (~1e-6 relative,
+    biased); one Newton iteration y <- (2y + x/y^2)/3 restores ~1-ulp
+    accuracy using only correctly-rounded multiply/divide."""
+    y = jnp.cbrt(x)
+    return (2.0 * y + x / (y * y)) / 3.0
+
+
+_LN2_HI = np.float32(0.6931457519531250)   # high bits of ln 2, exact in f32
+_LN2_LO = np.float32(1.4286067653e-06)     # ln 2 - _LN2_HI
+
+
+@jax.custom_jvp
+def _log32(x):
+    m, e = jnp.frexp(x)                     # x = m 2^e, m in [0.5, 1)
+    small = m < np.float32(np.sqrt(0.5))
+    m = jnp.where(small, 2.0 * m, m)
+    e = jnp.where(small, e - 1, e).astype(x.dtype)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    atanh2 = 2.0 * t * (1.0 + t2 * (1.0 / 3.0 + t2 * (
+        1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0)))))
+    return e * _LN2_HI + (e * _LN2_LO + atanh2)
+
+
+@_log32.defjvp
+def _log32_jvp(primals, tangents):
+    # frexp is not differentiable; the analytic derivative 1/x is a single
+    # correctly-rounded divide — more accurate than any chain rule
+    x, = primals
+    t, = tangents
+    return _log32(x), t / x
+
+
+def log_hp(x):
+    """Accurate f32 natural log for positive x.
+
+    TPU's ``log`` (like its ``pow``) is a fast approximation with ~1e-6
+    biased relative error — measured at -90 ueV/atom on the fcc-Al 128^3
+    PBE energy through the correlation logarithms, and -29 on WT through
+    the Lindhard-kernel log.  This version reduces to m in [sqrt(1/2),
+    sqrt(2)) via ``frexp`` (exact) and evaluates log(m) = 2 atanh(t),
+    t = (m-1)/(m+1) <= 0.1716, with a 5-term odd series (truncation
+    ~5e-10) — everything in correctly-rounded add/mul/divide, plus a
+    two-constant ln 2 split for the exponent part; the derivative is the
+    exact 1/x via custom_jvp.  f64 falls through to ``jnp.log``
+    (reference-tier bit parity).
+    """
+    if x.dtype != jnp.float32:
+        return jnp.log(x)
+    return _log32(x)
+
+
+def powr(x, p):
+    """Accurate x**p for positive x and small rational exponents, f32-safe.
+
+    On TPU, ``x ** p`` lowers to approximate exp(p log x): ~1e-6 relative
+    error with systematic bias.  Measured on the fcc-Al 128^3 energy, that
+    costs -17 (TF) / -47 (WT) / -88 (PBE) ueV/atom versus +3 on CPU f32
+    (docs/design.md), and the matching gradient error is what makes f32
+    density optimization crawl (~550 iterations to the noise floor on TPU
+    vs ~45 on CPU).  The OFDFT integrands only ever need exponents with
+    denominator 1, 2, 3 or 6, so we build them from integer powers (exact),
+    sqrt (correctly rounded on the VPU), and a Newton-refined cube root.
+
+    Exponents that aren't small multiples of 1/6 (trainable or irrational,
+    e.g. WGC98's (5 +- sqrt 5)/6) fall back to ``**``, as does the f64 tier
+    (bit-parity with the reference).  Zero/negative x are NOT guarded here
+    — call sites floor the density first, exactly as they must for ``**``.
+    """
+    if isinstance(p, jnp.ndarray) or x.dtype != jnp.float32:
+        return x ** p
+    num = root = None
+    for r in (1, 2, 3, 6):
+        n = p * r
+        if abs(n - round(n)) < 1e-9 and 0 < abs(round(n)) <= 30:
+            num, root = int(round(n)), r
+            break
+    if num is None:
+        return x ** p
+    inv = num < 0
+    num = -num if inv else num
+    if root == 1:
+        base = x
+    elif root == 2:
+        base = jnp.sqrt(x)
+    elif root == 3:
+        base = _cbrt_newton(x)
+    else:  # root == 6
+        base = jnp.sqrt(_cbrt_newton(x))
+    # integer power by squaring: O(log n) multiplies keeps rounding at a
+    # few ulp even for the larger exponents
+    out = None
+    sq = base
+    n = num
+    while n:
+        if n & 1:
+            out = sq if out is None else out * sq
+        n >>= 1
+        if n:
+            sq = sq * sq
+    return 1.0 / out if inv else out
+
+
 def wavenumbers(box_vecs, shape):
     """|k| on the half-spectrum grid, zero-safe at the origin."""
     _, _, _, k2 = wavevecs(box_vecs, shape)
@@ -211,16 +317,16 @@ def reduced_gradient(kx, ky, kz, den):
     """s = |grad n| / (2 (3 pi^2)^{1/3} n^{4/3}) (functional_tools.py:230-249)."""
     gdg = grad_dot_grad(kx, ky, kz, den)
     abs_grad = safe_sqrt(gdg)
-    return 0.5 * (3.0 * np.pi**2) ** (-1.0 / 3.0) * abs_grad * den ** (-4.0 / 3.0)
+    return 0.5 * (3.0 * np.pi**2) ** (-1.0 / 3.0) * abs_grad * powr(den, -4.0 / 3.0)
 
 
 def reduced_gradient_squared(kx, ky, kz, den):
     """s^2 = |grad n|^2 / (4 (3 pi^2)^{2/3} n^{8/3}) (functional_tools.py:252-268)."""
     return (0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
-            * grad_dot_grad(kx, ky, kz, den) * den ** (-8.0 / 3.0))
+            * grad_dot_grad(kx, ky, kz, den) * powr(den, -8.0 / 3.0))
 
 
 def reduced_laplacian(k2, den):
     """q = lap n / (4 (3 pi^2)^{2/3} n^{5/3}) (functional_tools.py:271-287)."""
     return (0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
-            * laplacian(k2, den) * den ** (-5.0 / 3.0))
+            * laplacian(k2, den) * powr(den, -5.0 / 3.0))
