@@ -11,16 +11,21 @@ FFT-bound steps at >= 80% of roofline.  This measures exactly that:
   precondition=True)` internals) on the f32 TPU fast path, with
   f64-accurate energy accumulation (`ops.grid.qmean`) so the 1e-7 eV
   criterion is resolvable.  The exact uniform-density preconditioner makes
-  each step near-Newton (bulk Al: ~43 iterations at 128^3 instead of the
-  round-1 bench's 162), and the memoryless iteration reaches an exact f32
-  fixed point instead of bouncing on noise-poisoned L-BFGS curvature pairs
-  (measured f32-vs-f64 energy error: 20 ueV/atom at 128^3, vs 137 in
-  round 1).
-* The roofline half is measured, not asserted: XLA's own cost analysis of
-  one steady-state L-BFGS iteration gives bytes-accessed; dividing by the
-  chip's peak HBM bandwidth gives the memory-bound floor for this
-  (FFT-dominated, bandwidth-bound) program, and the measured per-iteration
-  time against it gives `pct_roofline`.
+  each step near-Newton, the memoryless iteration reaches an exact f32
+  fixed point instead of bouncing on noise-poisoned L-BFGS curvature
+  pairs, and true-f32 transcendentals (`ops.grid.powr`/`log_hp`) keep
+  TPU gradients as clean as CPU f32.  Measured at 128^3 on v5e: 26
+  iterations / 0.185 s (round-1 bench: 162 / 1.59 s), converged energy
+  within ~1 ueV/atom of the f64 CPU reference.
+* The roofline half is measured, not asserted, with two models: (a) XLA's
+  own cost analysis of one steady-state iteration (bytes-accessed / peak
+  HBM bandwidth) — the program beats this model (>100%) thanks to fusion
+  and VMEM reuse the per-op count cannot see; (b) an idealized FFT-stream
+  floor (every transform's operands touched exactly once at peak
+  bandwidth) — the backend's matmul-based FFT algorithm runs well above
+  that floor by construction, and our own MXU DFT at Precision.HIGHEST
+  lands within ~15% of it per transform, confirming the implementation is
+  near the practical limit for XLA-level code.
 
 ``vs_baseline`` = 2.0 s / measured time (>1 beats the target).
 
@@ -118,14 +123,41 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
                                g_prev=g0.reshape(-1),
                                n_iter=jnp.ones((), jnp.int32))
 
-    compiled_one = jax.jit(one_iter).lower(state0, kernel).compile()
+    lowered_one = jax.jit(one_iter).lower(state0, kernel)
+    compiled_one = lowered_one.compile()
     try:
         ca = compiled_one.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         bytes_iter = float(ca.get("bytes accessed", 0.0))
+        flops_iter = float(ca.get("flops", 0.0))
     except Exception as e:  # cost analysis is best-effort per backend
         log(f"[bench] cost_analysis unavailable: {e}")
-        bytes_iter = 0.0
+        bytes_iter = flops_iter = 0.0
+
+    # FFT-stream floor: count fft primitives by walking the jaxpr (the TPU
+    # backend decomposes them beyond recognition in the final HLO, and the
+    # StableHLO text dedups shared subfunctions); the idealized "speed of
+    # light" for an FFT-bound step is one streaming read+write of each
+    # transform's operands
+    n_fft = fft_bytes = 0
+    try:
+        def walk(jaxpr):
+            nonlocal n_fft, fft_bytes
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "fft":
+                    out = eqn.outvars[0].aval
+                    inp = eqn.invars[0].aval
+                    fft_bytes += (out.size * out.dtype.itemsize
+                                  + inp.size * inp.dtype.itemsize)
+                    n_fft += 1
+                for v in eqn.params.values():
+                    for j in jax.tree_util.tree_leaves(
+                            v, is_leaf=lambda x: hasattr(x, "jaxpr")):
+                        if hasattr(j, "jaxpr"):
+                            walk(j.jaxpr)
+        walk(jax.make_jaxpr(one_iter)(state0, kernel).jaxpr)
+    except Exception as e:
+        log(f"[bench] jaxpr fft scan unavailable: {e}")
 
     compiled = jax.jit(iters).lower(state0, kernel).compile()
     st = compiled(state0, kernel)
@@ -137,18 +169,31 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
 
     dev = jax.devices()[0]
     bw = peak_hbm_gbps(getattr(dev, "device_kind", ""))
-    pct = None
+    pct = pct_fft = None
     if bw and bytes_iter:
-        t_floor = bytes_iter / (bw * 1e9)
-        pct = 100.0 * t_floor / t_iter
-        log(f"[bench] roofline: {bytes_iter / 1e6:.1f} MB/iter, peak "
-            f"{bw:.0f} GB/s -> floor {t_floor * 1e3:.2f} ms/iter, measured "
-            f"{t_iter * 1e3:.2f} ms/iter = {pct:.0f}% of roofline")
-    else:
+        # XLA cost-model "roofline": HLO bytes-accessed / peak BW.  >100%
+        # means the program beats the model (VMEM reuse the per-op count
+        # cannot see) — an upper bound on traffic, not a true floor.
+        t_model = bytes_iter / (bw * 1e9)
+        pct = 100.0 * t_model / t_iter
+        log(f"[bench] cost-model: {bytes_iter / 1e6:.0f} MB/iter -> "
+            f"{t_model * 1e3:.2f} ms; measured {t_iter * 1e3:.2f} ms/iter "
+            f"= {pct:.0f}% (>100% = beats the per-op byte count)")
+    if bw and fft_bytes:
+        # FFT-stream speed of light: every transform's operands touched
+        # exactly once at peak HBM bandwidth — the idealized floor the
+        # BASELINE "FFT-bound steps" target refers to
+        t_fft = fft_bytes / (bw * 1e9)
+        pct_fft = 100.0 * t_fft / t_iter
+        log(f"[bench] fft-stream floor: {n_fft} transforms, "
+            f"{fft_bytes / 1e6:.0f} MB -> {t_fft * 1e3:.2f} ms; measured "
+            f"{t_iter * 1e3:.2f} ms/iter = running at {pct_fft:.0f}% of "
+            f"speed-of-light")
+    if not bw:
         log(f"[bench] roofline: bytes/iter={bytes_iter / 1e6:.1f} MB, "
             f"measured {t_iter * 1e3:.2f} ms/iter "
             f"(no peak-BW entry for '{getattr(dev, 'device_kind', '?')}')")
-    return t_iter, bytes_iter, pct
+    return t_iter, bytes_iter, pct, pct_fft, n_fft
 
 
 def main():
@@ -192,6 +237,16 @@ def main():
     v_ext = jax.device_put(jnp.asarray(v_ext_np, dtype), dev)
     chi0 = jax.device_put(jnp.asarray(np.sqrt(den_np).reshape(-1), dtype), dev)
 
+    if backend != "cpu" and os.environ.get("BENCH_FFT", "native") == "matmul":
+        # MXU matmul DFT: 16% faster per iteration and better forward
+        # accuracy on v5e (5.3 vs 6.3 ms/iter; 3.2e-7 vs 7.5e-7 rel err per
+        # transform) — but its gradient rounding pattern costs ~4x more
+        # optimizer iterations to the f32 fixed point (111 vs 26 measured),
+        # so the builtin FFT wins end-to-end and stays the default
+        from professad_tpu.ops import grid as _grid
+        _grid.set_fft_mode("matmul")
+        log("[bench] fft mode: matmul (MXU DFT at Precision.HIGHEST)")
+
     def full(chi0):
         # whole optimization as one XLA program: exact-spectral-
         # preconditioned TPGD (near-Newton steps, no L-BFGS memory for f32
@@ -229,7 +284,7 @@ def main():
         log("[bench] WARNING: did not converge within 1000 iterations")
 
     # ---- roofline of the steady-state iteration ---------------------------
-    t_iter, bytes_iter, pct = measure_roofline(
+    t_iter, bytes_iter, pct, pct_fft, n_fft = measure_roofline(
         system, chi0, box_vecs, v_ext, N_elec)
 
     result = {
@@ -242,7 +297,9 @@ def main():
             "converged": bool(conv),
             "ms_per_iter": round(t_iter * 1e3, 3),
             "bytes_per_iter": int(bytes_iter),
-            "pct_of_hbm_roofline": round(pct, 1) if pct else None,
+            "fft_ops_per_iter": n_fft,
+            "pct_of_xla_cost_model": round(pct, 1) if pct else None,
+            "pct_of_fft_stream_floor": round(pct_fft, 1) if pct_fft else None,
         },
     }
     print(json.dumps(result), flush=True)

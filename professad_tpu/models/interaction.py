@@ -8,7 +8,7 @@ universal quadrature mean(integrand) * |det h|.
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.grid import wavevecs, volume, qmean
+from ..ops.grid import wavevecs, volume, qmean, rfftn, irfftn
 
 __all__ = ["IonIon", "IonElectron", "Hartree", "hartree_potential"]
 
@@ -37,7 +37,7 @@ def _coulomb_ft(k2):
 def hartree_potential(box_vecs, den):
     """Classical electrostatic potential of the density (k=0 removed)."""
     _, _, _, k2 = wavevecs(box_vecs, den.shape)
-    return jnp.fft.irfftn(jnp.fft.rfftn(den) * _coulomb_ft(k2), den.shape)
+    return irfftn(rfftn(den) * _coulomb_ft(k2), den.shape)
 
 
 def Hartree(box_vecs, den):

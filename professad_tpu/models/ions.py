@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf, erfc
 
-from ..ops.grid import wavevecs, volume, safe_sqrt, inv3x3, expi
+from ..ops.grid import wavevecs, volume, safe_sqrt, inv3x3, expi, rfftn
 from ..ops.interp import interpolate
 from ..utils.constants import RECPOT_BOHR, RECPOT_POT_CONV
 
@@ -243,7 +243,7 @@ def structure_factor_spline(box_vecs, shape, cart_ion_coords, order,
         Q = _spread_mxu(shape, l0.T, l1.T, l2.T, M0.T, M1.T, M2.T)
     else:
         raise ValueError("method must be 'auto', 'scatter' or 'mxu'")
-    Q_ft = jnp.fft.rfftn(Q)
+    Q_ft = rfftn(Q)
 
     dtype = cart_ion_coords.dtype
     b0 = exponential_spline_b(jnp.arange(Q_ft.shape[0], dtype=dtype), N0, order)

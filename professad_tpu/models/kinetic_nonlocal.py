@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, safe_sqrt, grad_dot_grad, qmean,
-                        reduced_gradient_squared, powr, log_hp)
+                        reduced_gradient_squared, powr, log_hp, rfftn, irfftn)
 from ..ops.interp import interpolate
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
 from ..utils.constants import EV_PER_HA
@@ -97,7 +97,7 @@ def non_local_KEF(box_vecs, den, alpha, beta):
     eta, G_inv = G_inv_lindhard(box_vecs, den)
     kernel = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
               * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
-    conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(powr(den, beta) - n0 ** beta), den.shape)
+    conv = irfftn(kernel * rfftn(powr(den, beta) - n0 ** beta), den.shape)
     return TF_COEFF * qmean((powr(den, alpha) - n0 ** alpha) * conv) * vol
 
 
@@ -329,7 +329,7 @@ class WangGovindCarter99(KineticFunctional):
         shape = den.shape
 
         def conv_with(kern, field):
-            return jnp.fft.irfftn(kern * jnp.fft.rfftn(field), shape)
+            return irfftn(kern * rfftn(field), shape)
 
         conv = (conv_with(w0, nb)
                 + theta * conv_with(K1, nb)
@@ -414,7 +414,7 @@ class FoleyMadden(KineticFunctional):
 
         kernel = (TF_COEFF * 5.0 / (9.0 * alpha**2 * n0 ** (2.0 * alpha - 5.0 / 3.0))
                   * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
-        conv = jnp.fft.irfftn(kernel * jnp.fft.rfftn(powr(den, alpha) - n0**alpha), den.shape)
+        conv = irfftn(kernel * rfftn(powr(den, alpha) - n0**alpha), den.shape)
         NL1 = qmean((powr(den, alpha) - n0**alpha) * conv) * vol
 
         K_delta = (alpha**2 * n0 ** (2.0 * alpha - 1.0) / 18.0 * k_F**2
@@ -422,11 +422,11 @@ class FoleyMadden(KineticFunctional):
 
         f1, f2, f3, f4, f5, f6, f7 = self._piecewise_fits(q)
 
-        delta_nb_ft = jnp.fft.rfftn(powr(den, beta) - n0**beta)
+        delta_nb_ft = rfftn(powr(den, beta) - n0**beta)
         shape = den.shape
 
         def iconv(kern):
-            return jnp.fft.irfftn(delta_nb_ft * kern, shape)
+            return irfftn(delta_nb_ft * kern, shape)
 
         F1 = iconv(f1)
         F2 = iconv(f1 * q**4)
@@ -500,13 +500,13 @@ def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
     n0 = N_elec / vol
 
     eta, G_inv = G_inv_gap(box_vecs, den, E_gap)
-    g_tilde = jnp.fft.rfftn(powr(den, beta))
+    g_tilde = rfftn(powr(den, beta))
 
     nz = eta != 0.0
     G_safe = jnp.where(nz, G_inv, 1.0)
     kern = jnp.where(nz, 1.0 / G_safe - 3.0 * eta * eta - 1.0, 0.0)
     conv = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
-            * jnp.fft.irfftn(kern * g_tilde, den.shape))
+            * irfftn(kern * g_tilde, den.shape))
     T_NL = TF_COEFF * qmean(powr(den, alpha) * conv) * vol
     vW, TF = Weizsaecker(box_vecs, den), ThomasFermi(box_vecs, den)
     return vW + TF * f(T_NL / fprime0 / TF)
@@ -715,7 +715,7 @@ class MiGenovaPavanello(KineticFunctional):
         interp_w = interpolate(eta_1D, w_1D, jnp.minimum(eta, eta_1D[-1]))
         MGP_kernel = jnp.where(nz, interp_w + 0.6 * w_corr, 0.0)
 
-        conv = jnp.fft.irfftn(MGP_kernel * jnp.fft.rfftn(powr(den, 5.0 / 6.0)), den.shape)
+        conv = irfftn(MGP_kernel * rfftn(powr(den, 5.0 / 6.0)), den.shape)
         T_NL = qmean(powr(den, 5.0 / 6.0) * conv) * vol
         return Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den) + T_NL
 
@@ -734,7 +734,7 @@ def XuWangMa(box_vecs, den, kappa=0.0):
 
     kernel0 = (18.0 / (6.0 * kappa + 5.0) ** 2 * np.pi**2 / (3.0 * np.pi**2) ** (1.0 / 3.0)
                * (1.0 / G_inv - 3.0 * eta * eta - 1.0) / n0 ** (2.0 * kappa))
-    conv = jnp.fft.irfftn(kernel0 * jnp.fft.rfftn(den ** (kappa + 5.0 / 6.0)), shape)
+    conv = irfftn(kernel0 * rfftn(den ** (kappa + 5.0 / 6.0)), shape)
     T_NL0 = qmean(den ** (kappa + 5.0 / 6.0) * conv) * vol
 
     nz = eta != 0.0
@@ -758,10 +758,10 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     kernel1a = kernel1 / ((kappa + 5.0 / 6.0) * (kappa + 11.0 / 6.0))
     kernel1b = n0 / (kappa + 5.0 / 6.0) ** 2 * kernel1
 
-    conva = jnp.fft.irfftn(kernel1a * jnp.fft.rfftn(den ** (kappa + 11.0 / 6.0)), shape)
+    conva = irfftn(kernel1a * rfftn(den ** (kappa + 11.0 / 6.0)), shape)
     T_NL1a = qmean(den ** (kappa + 5.0 / 6.0) * conva) * vol
 
-    convb = jnp.fft.irfftn(kernel1b * jnp.fft.rfftn(den ** (kappa + 5.0 / 6.0)), shape)
+    convb = irfftn(kernel1b * rfftn(den ** (kappa + 5.0 / 6.0)), shape)
     T_NL1b = qmean(den ** (kappa + 5.0 / 6.0) * convb) * vol
 
     return (Weizsaecker(box_vecs, den) + ThomasFermi(box_vecs, den)

@@ -1,14 +1,15 @@
-"""High-precision real 3-D FFTs for the TPU f32 tier, as MXU matmuls.
+"""High-precision real 3-D FFTs as explicit MXU matmuls (optional path).
 
-Why this exists: XLA:TPU lowers ``jnp.fft`` to MXU matmul passes at the
-backend's default precision, which on v5e costs ~1e-5 relative error at
-128^3 — three orders of magnitude above true f32 (CPU f32 rfftn: ~1e-7).
-That error poisons gradients on the f32 fast path: density optimization at
-128^3 needs ~550 iterations to reach its noise floor instead of ~45, and
-the converged energy carries a ~130 ueV/atom bias (measured, see
-docs/design.md).  The fix is to do what the hardware does anyway — DFT as
-matrix multiplication — but at ``jax.lax.Precision.HIGHEST`` (f32-true
-accumulation on the MXU).
+Context: the TPU f32-tier accuracy problem of round 2 turned out to be the
+``pow``/``log`` approximations (fixed by ``ops.grid.powr``/``log_hp``), NOT
+the FFT — the builtin ``jnp.fft.rfftn`` measures 7.5e-7 relative at 128^3
+on v5e, i.e. healthy f32.  This module exists as the alternative compute
+path: DFT as dense matrix multiplication at ``jax.lax.Precision.HIGHEST``,
+useful (a) as an accuracy cross-check against the backend FFT, (b) as a
+building block for sharded/batched spectral ops where the backend FFT's
+layout constraints bite (e.g. XLA:CPU's batched-sharded FFT RET_CHECK),
+and (c) wherever the matmul formulation benchmarks faster than the builtin
+on a given chip generation.
 
 Design:
 
@@ -40,28 +41,32 @@ __all__ = ["rfftn_hp", "irfftn_hp"]
 _HI = jax.lax.Precision.HIGHEST
 
 
+# Tables are cached as HOST numpy arrays (caching jnp arrays would leak
+# tracers across jit scopes); jnp conversion happens per use site and is
+# baked into each trace as a constant.
+
 @lru_cache(maxsize=None)
-def _rdft_tables(n, dtype_name):
+def _rdft_tables_np(n, dtype_name):
     """Forward rDFT tables (n, n//2+1): cos and sin of -2 pi j k / n."""
     j = np.arange(n)[:, None]
     k = np.arange(n // 2 + 1)[None, :]
     ang = -2.0 * np.pi * j * k / n
     dt = np.dtype(dtype_name)
-    return (jnp.asarray(np.cos(ang), dt), jnp.asarray(np.sin(ang), dt))
+    return (np.cos(ang).astype(dt), np.sin(ang).astype(dt))
 
 
 @lru_cache(maxsize=None)
-def _dft_tables(n, dtype_name):
+def _dft_tables_np(n, dtype_name):
     """Full DFT tables (n, n): cos and sin of -2 pi j k / n."""
     j = np.arange(n)[:, None]
     k = np.arange(n)[None, :]
     ang = -2.0 * np.pi * j * k / n
     dt = np.dtype(dtype_name)
-    return (jnp.asarray(np.cos(ang), dt), jnp.asarray(np.sin(ang), dt))
+    return (np.cos(ang).astype(dt), np.sin(ang).astype(dt))
 
 
 @lru_cache(maxsize=None)
-def _irdft_tables(n, dtype_name):
+def _irdft_tables_np(n, dtype_name):
     """Inverse rDFT tables (n//2+1, n) with Hermitian weights folded in:
     x_j = (1/n) sum_k w_k (Re X_k cos + Im X_k (-sin)), w = 2 except for
     the DC and (even-n) Nyquist bins."""
@@ -74,8 +79,23 @@ def _irdft_tables(n, dtype_name):
     if n % 2 == 0:
         w[-1] = 1.0
     dt = np.dtype(dtype_name)
-    return (jnp.asarray(w * np.cos(ang) / n, dt),
-            jnp.asarray(-w * np.sin(ang) / n, dt))
+    return ((w * np.cos(ang) / n).astype(dt),
+            (-w * np.sin(ang) / n).astype(dt))
+
+
+def _rdft_tables(n, dtype_name):
+    C, S = _rdft_tables_np(n, dtype_name)
+    return jnp.asarray(C), jnp.asarray(S)
+
+
+def _dft_tables(n, dtype_name):
+    C, S = _dft_tables_np(n, dtype_name)
+    return jnp.asarray(C), jnp.asarray(S)
+
+
+def _irdft_tables(n, dtype_name):
+    C, S = _irdft_tables_np(n, dtype_name)
+    return jnp.asarray(C), jnp.asarray(S)
 
 
 def _mm_last(x, T):

@@ -29,7 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.grid import wavevecs, volume, safe_sqrt, inv3x3
+from .ops.grid import (wavevecs, volume, safe_sqrt, inv3x3, rfftn,
+                       irfftn)
 from .models.kinetic_local import TF_COEFF
 from .ops.interp import interpolate
 from .ops import solvers
@@ -340,8 +341,8 @@ class System:
         M = 1.0 / (0.25 * k2s + 4.0 * jnp.pi * n0 / k2s + c_tf)
 
         def apply_H0(q):
-            Q = jnp.fft.rfftn(q.reshape(self._shape))
-            return jnp.fft.irfftn(M * Q, self._shape).reshape(q.shape)
+            Q = rfftn(q.reshape(self._shape))
+            return irfftn(M * Q, self._shape).reshape(q.shape)
 
         return apply_H0
 
@@ -384,7 +385,7 @@ class System:
         grad_E = jax.grad(
             lambda den: self._density_terms_energy(box_vecs, den, v_zero))
         _, hvp = jax.jvp(grad_E, (n0_field,), (delta,))
-        F = jnp.fft.rfftn(hvp).real.astype(dt)
+        F = rfftn(hvp).real.astype(dt)
         # Positive floor: k=0 carries no Hartree (zeroed there) and is
         # projected out by the normalization anyway; guard against roundoff
         # or exotic functionals driving isolated modes non-SPD.
@@ -395,8 +396,8 @@ class System:
         shape = self._shape
 
         def apply_H0(q):
-            Q = jnp.fft.rfftn(q.reshape(shape))
-            return jnp.fft.irfftn(M * Q, shape).reshape(q.shape)
+            Q = rfftn(q.reshape(shape))
+            return irfftn(M * Q, shape).reshape(q.shape)
 
         return apply_H0
 
