@@ -52,3 +52,14 @@ t0 = time.perf_counter()
 system.optimize_density(ntol=1e-7, jit_loop=True, n_verbose=True)
 print(f"jit_loop energy : {system.energy('eV'):.10f} eV "
       f"({time.perf_counter() - t0:.2f} s incl. compile)")
+
+# 3. the TPU bench fast path: exact-preconditioned TPGD with near-Newton
+#    steps — bulk Al converges in ~10 iterations (f64) / ~26 (TPU f32 at
+#    128^3, 0.18 s on one v5e chip)
+system.initialize_density()
+t0 = time.perf_counter()
+system.optimize_density(ntol=1e-7, jit_loop=True, n_method="TPGD",
+                        n_step_size=1.0, precondition=True, skip_iters=2,
+                        n_verbose=True)
+print(f"precond. TPGD   : {system.energy('eV'):.10f} eV "
+      f"({time.perf_counter() - t0:.2f} s incl. compile)")
