@@ -7,9 +7,31 @@ and NaN-free under autodiff.  Gathers are `take`/`take_along_axis`, which XLA
 lowers to efficient dynamic-gather on TPU.
 """
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["interpolate", "interpolate_kernel"]
+
+
+def _bracket(x, xs):
+    """Index of the knot interval containing each query.
+
+    Fast path: when the knot array is CONCRETE at trace time (static tables
+    — kernel tables, recpot grids, xi ladders) and uniformly spaced, the
+    binary search collapses to one multiply+truncate.  A 10k-entry
+    searchsorted over millions of queries is the difference between the
+    Huang-Carter TPU iteration being interpolation-bound or FFT-bound.
+    """
+    if not isinstance(x, jax.core.Tracer):
+        xv = np.asarray(x)
+        d = np.diff(xv)
+        if d.size and np.allclose(d, d[0], rtol=1e-9, atol=0.0):
+            step = float(d[0])
+            idx = jnp.floor((xs - float(xv[0])) / step).astype(jnp.int32)
+            return jnp.clip(idx, 0, x.shape[0] - 2)
+    return jnp.clip(jnp.searchsorted(x[1:], xs, side="left"),
+                    0, x.shape[0] - 2)
 
 
 def _hermite_weights(t):
@@ -49,7 +71,7 @@ def interpolate(x, y, xs):
     Parity: functional_tools.py:292-334.
     """
     m = _tangents(x, y)
-    idx = jnp.clip(jnp.searchsorted(x[1:], xs, side="left"), 0, x.shape[0] - 2)
+    idx = _bracket(x, xs)
     x0 = x[idx]
     dx = x[idx + 1] - x0
     t = (xs - x0) / dx
@@ -77,12 +99,25 @@ def interpolate_kernel(xi_sparse, f, xis):
     inner = 0.5 * (m[..., 1:] + m[..., :-1])
     m = jnp.concatenate([first, inner, last], axis=-1)
 
-    idx = jnp.clip(jnp.searchsorted(xi_sparse[1:], xis, side="left"),
-                   0, xi_sparse.shape[0] - 2)
+    idx = _bracket(xi_sparse, xis)
     x0 = xi_sparse[idx]
     dx = xi_sparse[idx + 1] - x0
     t = (xis - x0) / dx
     h00, h10, h01, h11 = _hermite_weights(t)
+
+    if f.shape[-1] <= 32:
+        # Dense one-hot contraction over the (small) ladder axis: the VJP of
+        # take_along_axis is a scatter — serialized and slow on TPU — while
+        # the dense form's VJP is a broadcast multiply.  nxi is single-digit
+        # to low-tens for real ladders, so the extra O(n_grid * nxi)
+        # elementwise work is trivial.
+        jj = jnp.arange(f.shape[-1])
+        e = idx[..., None]
+        on0 = (jj == e).astype(f.dtype)
+        on1 = (jj == e + 1).astype(f.dtype)
+        Wf = h00[..., None] * on0 + h01[..., None] * on1
+        Wm = (h10[..., None] * on0 + h11[..., None] * on1) * dx[..., None]
+        return jnp.sum(Wf * f + Wm * m, axis=-1)
 
     idx_e = idx[..., None]
     f0 = jnp.take_along_axis(f, idx_e, axis=-1)[..., 0]

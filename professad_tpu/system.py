@@ -291,12 +291,23 @@ class System:
     # energy assembly (pure functions)
     # ------------------------------------------------------------------
 
-    def _density_terms_energy(self, box_vecs, den, v_ext):
-        """Sum of all density-dependent terms (ion-ion excluded)."""
+    def _density_terms_energy(self, box_vecs, den, v_ext, aux=None):
+        """Sum of all density-dependent terms (ion-ion excluded).
+
+        ``aux``: optional list (one entry per term) of static per-cell
+        arrays collected by ``_collect_term_aux`` — e.g. the Huang-Carter
+        kernel slabs — threaded through the jitted optimizer paths as
+        arguments.  Paths that differentiate w.r.t. the cell must NOT pass
+        aux (the exact traced computation is the default).
+        """
         E = jnp.zeros((), dtype=den.dtype)
-        for f in self._terms:
+        for i, f in enumerate(self._terms):
             nm = _term_name(f)
-            if nm == "IonElectron":
+            a = aux[i] if aux is not None else None
+            if a is not None:
+                owner = getattr(f, "__self__", f)
+                E = E + owner.apply_aux(a, box_vecs, den)
+            elif nm == "IonElectron":
                 E = E + f(box_vecs, den, v_ext)
             elif nm == "IonIon":
                 continue
@@ -304,7 +315,20 @@ class System:
                 E = E + f(box_vecs, den)
         return E
 
-    def _chi_energy(self, chi_flat, box_vecs, v_ext, N_elec):
+    def _collect_term_aux(self):
+        """Static per-cell auxiliary arrays from terms exposing
+        ``aux_arrays()`` (populated by their ``prepare``); None if no term
+        has any."""
+        aux, found = [], False
+        for f in self._terms:
+            owner = getattr(f, "__self__", f)
+            g = getattr(owner, "aux_arrays", None)
+            a = g() if callable(g) else None
+            aux.append(a)
+            found = found or a is not None
+        return aux if found else None
+
+    def _chi_energy(self, chi_flat, box_vecs, v_ext, N_elec, aux=None):
         """Energy as a function of the unconstrained sqrt-density variable:
         n = N_e chi^2 / (int chi^2) (system.py:833-834).
 
@@ -322,7 +346,7 @@ class System:
         if chi.dtype == jnp.float32:
             c = 1e-10 * N_elec / vol
             den = (den + c) * (N_elec / (N_elec + c * vol))
-        return self._density_terms_energy(box_vecs, den, v_ext)
+        return self._density_terms_energy(box_vecs, den, v_ext, aux=aux)
 
     def _spectral_precond(self, box_vecs, N_elec):
         """Teter-style spectral preconditioner: inverse of the uniform-gas
@@ -410,29 +434,29 @@ class System:
         self._jit_den_energy = jax.jit(self._density_terms_energy)
         self._jit_dEdn = jax.jit(jax.grad(self._density_terms_energy, argnums=1))
 
-        def lbfgs_outer(state, box_vecs, v_ext, N_elec, lr):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+        def lbfgs_outer(state, box_vecs, v_ext, N_elec, lr, aux=None):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             return solvers.lbfgs_iterations(vg, state, 6, lr)
 
         self._jit_lbfgs_outer = jax.jit(lbfgs_outer)
 
-        def lbfgs_outer_pc(state, box_vecs, v_ext, N_elec, lr):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+        def lbfgs_outer_pc(state, box_vecs, v_ext, N_elec, lr, aux=None):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             aH0 = self._exact_precond(box_vecs, N_elec)
             return solvers.lbfgs_iterations(vg, state, 6, lr, apply_H0=aH0)
 
         self._jit_lbfgs_outer_pc = jax.jit(lbfgs_outer_pc)
 
-        def tpgd_outer(state, box_vecs, v_ext, N_elec, lr):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+        def tpgd_outer(state, box_vecs, v_ext, N_elec, lr, aux=None):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             return solvers.tpgd_step(vg, lr, state)
 
         self._jit_tpgd_outer = jax.jit(tpgd_outer)
 
         def lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
                        max_iter, conv_target="dE", precondition=False,
-                       block=6, skip_iters=5):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+                       block=6, skip_iters=5, aux=None):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             aH0 = (self._exact_precond(box_vecs, N_elec) if precondition
                    else None)
             stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec)
@@ -449,8 +473,8 @@ class System:
 
         def tpgd_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
                       max_iter, conv_target="dE", precondition=False,
-                      skip_iters=5):
-            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec)
+                      skip_iters=5, aux=None):
+            vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             aH0 = (self._exact_precond(box_vecs, N_elec) if precondition
                    else None)
             stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec)
@@ -626,6 +650,7 @@ class System:
                 self._den = current_den
 
         self._prepare_dynamic_kernels()
+        aux = self._collect_term_aux()
 
         quad_w = self.volume("b3") / self._den.size
         chi0 = safe_sqrt(self._den).reshape(-1)
@@ -661,13 +686,14 @@ class System:
                 state, n_it, conv = self._jit_tpgd_full(
                     chi0, *args, n_step_size, ntol, n_conv_cond_count,
                     round(n_maxiter), conv_target=conv_target,
-                    precondition=precondition, skip_iters=skip_iters)
+                    precondition=precondition, skip_iters=skip_iters,
+                    aux=aux)
             else:
                 state, n_it, conv = self._jit_lbfgs_full(
                     chi0, *args, n_step_size, ntol, n_conv_cond_count,
                     round(n_maxiter), conv_target=conv_target,
                     precondition=precondition, block=block,
-                    skip_iters=skip_iters)
+                    skip_iters=skip_iters, aux=aux)
             self._set_den_from_chi(state.x)
             self._ene = self._compute_energy(
                 use_ion_cache=self._Eion_cache is not None)
@@ -678,14 +704,15 @@ class System:
             return
 
         if potentials is None:
-            vg_single = lambda x: self._vg_chi(x, *args)
+            vg_single = lambda x: self._vg_chi(x, *args, aux)
             if n_method == "LBFGS":
                 outer = (self._jit_lbfgs_outer_pc if precondition
                          else self._jit_lbfgs_outer)
-                step = lambda st: outer(st, *args, n_step_size)
+                step = lambda st: outer(st, *args, n_step_size, aux)
                 state = solvers.lbfgs_init(vg_single, chi0)
             elif n_method == "TPGD":
-                step = lambda st: self._jit_tpgd_outer(st, *args, n_step_size)
+                step = lambda st: self._jit_tpgd_outer(st, *args, n_step_size,
+                                                       aux)
                 state = solvers.tpgd_init(vg_single, chi0)
             else:
                 raise ValueError("n_method must be 'LBFGS' or 'TPGD'")
