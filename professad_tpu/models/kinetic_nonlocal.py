@@ -722,7 +722,10 @@ class MiGenovaPavanello(KineticFunctional):
         self.kernel = (jnp.asarray(scaled[:, -1]), jnp.asarray(w))
 
     def prepare(self, box_vecs, den):
-        """Ensure the kernel table covers this grid's eta range (eager)."""
+        """Ensure the kernel table covers this grid's eta range (eager), and
+        — with a concrete cell — hoist the full k-space kernel for the
+        optimizer loop (density-independent given n0; threaded through jit
+        as an argument via the term-aux protocol, like Huang-Carter)."""
         _, _, _, k2 = wavevecs(box_vecs, den.shape)
         vol = volume(box_vecs)
         N_elec = round(float(jnp.mean(den) * vol))
@@ -731,29 +734,46 @@ class MiGenovaPavanello(KineticFunctional):
         eta_max = float(jnp.max(safe_sqrt(k2))) / (2.0 * k_F)
         if self.kernel is None or float(self.kernel[0][-1]) < eta_max:
             self.generate_kernel(1.2 * eta_max)
+        self._aux = None
+        if not isinstance(box_vecs, jax.core.Tracer):
+            self._aux = {"kernel": self._kernel_ft(
+                self.params, box_vecs, den.dtype, den.shape, k2, k_F)}
 
-    def apply(self, params, box_vecs, den):
+    def aux_arrays(self):
+        return getattr(self, "_aux", None)
+
+    def apply_aux(self, aux, box_vecs, den):
+        return self.apply(self.params, box_vecs, den, aux=aux)
+
+    def _kernel_ft(self, params, box_vecs, dtype, shape, k2, k_F):
+        eta = safe_sqrt(k2) / (2.0 * k_F)
+        eta_1D, w_1D = self.kernel
+        eta_1D = eta_1D.astype(dtype)
+        w_1D = w_1D.astype(dtype)
+        nz = k2 != 0.0
+        k2s = jnp.where(nz, k2, 1.0)
+        w_corr = (jax.scipy.special.erf(eta * 2.0 * k_F) ** 2
+                  * (4.0 * np.pi * params["a"] / k2s)
+                  * jnp.exp(-params["b"] * k2s))
+        interp_w = interpolate(eta_1D, w_1D, jnp.minimum(eta, eta_1D[-1]))
+        return jnp.where(nz, interp_w + 0.6 * w_corr, 0.0).astype(dtype)
+
+    def apply(self, params, box_vecs, den, aux=None):
         vol = volume(box_vecs)
         _, _, _, k2 = wavevecs(box_vecs, den.shape)
         N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
         n0 = N_elec / vol
         k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
-        eta = safe_sqrt(k2) / (2.0 * k_F)
 
-        if self.kernel is None:
-            if isinstance(den, jax.core.Tracer):
-                raise RuntimeError("MGP: call prepare() before tracing.")
-            self.prepare(box_vecs, den)
-        eta_1D, w_1D = self.kernel
-        eta_1D = eta_1D.astype(den.dtype)
-        w_1D = w_1D.astype(den.dtype)
-
-        nz = k2 != 0.0
-        k2s = jnp.where(nz, k2, 1.0)
-        w_corr = (jax.scipy.special.erf(eta * 2.0 * k_F) ** 2
-                  * (4.0 * np.pi * params["a"] / k2s) * jnp.exp(-params["b"] * k2s))
-        interp_w = interpolate(eta_1D, w_1D, jnp.minimum(eta, eta_1D[-1]))
-        MGP_kernel = jnp.where(nz, interp_w + 0.6 * w_corr, 0.0)
+        if aux is not None:
+            MGP_kernel = aux["kernel"].astype(den.dtype)
+        else:
+            if self.kernel is None:
+                if isinstance(den, jax.core.Tracer):
+                    raise RuntimeError("MGP: call prepare() before tracing.")
+                self.prepare(box_vecs, den)
+            MGP_kernel = self._kernel_ft(params, box_vecs, den.dtype,
+                                         den.shape, k2, k_F)
 
         conv = irfftn(MGP_kernel * rfftn(powr(den, 5.0 / 6.0)), den.shape)
         T_NL = qmean(powr(den, 5.0 / 6.0) * conv) * vol
