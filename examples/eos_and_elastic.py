@@ -34,8 +34,12 @@ terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
 system = System(box_vecs, (20, 20, 20), ions, terms, units="a",
                 coord_type="fractional")
 
-# Birch-Murnaghan EOS over a +-5% volume scan
-params, err = system.eos_fit(f=0.05, N=9, eos="bm", verbose=True)
+# Birch-Murnaghan EOS over a +-5% volume scan.  batched=True solves all
+# volume points simultaneously in ONE vmapped whole-optimization XLA
+# program (optionally data-parallel over a mesh "batch" axis) — the
+# TPU-native layout for EOS scans; serial (reference-style) is the default.
+params, err = system.eos_fit(f=0.05, N=9, eos="bm", verbose=True,
+                             batched=True)
 K0, K0p, E0, V0 = params
 print(f"\nEOS fit: K0 = {K0:.3f} GPa, K0' = {K0p:.4f}, "
       f"E0 = {E0:.4f} eV/atom, V0 = {V0:.3f} A^3/atom")
