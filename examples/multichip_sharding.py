@@ -62,3 +62,24 @@ def optimize(chi_flat):
 E, n_it, conv = optimize(chi0)
 print(f"sharded density optimization: E = {float(E):.8f} Ha in "
       f"{int(n_it)} iterations (converged={bool(conv)})")
+
+# ---- the same thing at the System level ------------------------------------
+# optimize_density(mesh=...) shards chi and v_ext over the mesh's "grid"
+# axis; GSPMD partitions the entire while_loop program.  (Real systems with
+# pseudopotentials work identically — this uses the library API end to end.)
+from professad_tpu.system import System
+from professad_tpu.models import IonIon, IonElectron, PerdewBurkeErnzerhof
+
+POT = os.path.join(os.path.dirname(__file__), "..", "tests", "potentials",
+                   "al.gga.recpot")
+box_A = 4.050 * jnp.eye(3)
+frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                    [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+n0 = 2 * mesh.shape["grid"]
+sys_ = System(box_A, (n0, 16, 16), [["Al", POT, frac]],
+              [IonIon, IonElectron, Hartree, WangTeter,
+               PerdewBurkeErnzerhof], units="a", coord_type="fractional")
+sys_.optimize_density(ntol=1e-8, jit_loop=True, n_method="TPGD",
+                      n_step_size=1.0, precondition=True, skip_iters=2,
+                      mesh=mesh)
+print(f"System-level sharded optimize_density: E = {sys_.energy('eV'):.6f} eV")
