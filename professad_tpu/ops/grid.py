@@ -18,8 +18,6 @@ Design notes (TPU/XLA-first):
   float32 for the TPU fast path (TPU FFT has no f64 kernel).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ as a JAX-first design:
   host-side whenever the cell changes (replaces torch-nl).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
