@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt, qmean,
                         reduced_gradient, reduced_gradient_squared,
                         reduced_laplacian, powr)
-from ..ops.fieldconv import field_dependent_convolution, xi_ladder
+from ..ops.fieldconv import (field_dependent_convolution,
+                             field_dependent_convolution_naive, xi_ladder)
 from .base import KineticFunctional
 
 __all__ = [
@@ -47,7 +48,7 @@ def _mean_density(box_vecs, den):
 def vWGTF1(box_vecs, den):
     """vWGTF1: G(d) = 0.9892 d^{-1.2994} (parity: functionals.py:251-274)."""
     d = den / _mean_density(box_vecs, den)
-    G = 0.9892 * d ** (-1.2994)
+    G = 0.9892 * powr(d, -1.2994)
     TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
     return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
 
@@ -55,7 +56,7 @@ def vWGTF1(box_vecs, den):
 def vWGTF2(box_vecs, den):
     """vWGTF2: ELF-parameterized enhancement (parity: functionals.py:277-305)."""
     d = den / _mean_density(box_vecs, den)
-    ELF = 0.5 * (1.0 + jnp.tanh(5.7001 * d ** 0.2563 - 5.7001))
+    ELF = 0.5 * (1.0 + jnp.tanh(5.7001 * powr(d, 0.2563) - 5.7001))
     G = jnp.sqrt(1.0 / ELF - 1.0)
     TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
     return Weizsaecker(box_vecs, den) + qmean(G * TF_ked) * volume(box_vecs)
@@ -208,25 +209,36 @@ class YukawaGGA(KineticFunctional):
         return self.xi_sparse
 
     def yukawa_descriptor(self, params, k2, den):
-        """Yukawa descriptor y(r) (parity: functionals.py:450-475)."""
+        """Yukawa descriptor y(r) (parity: functionals.py:450-475).
+
+        ``self.spline=False`` selects the exact per-point evaluation
+        (reference's naive fallback, functionals.py:465-471) — O(N^2), the
+        cross-check oracle for the ladder method; keep it to coarse grids.
+        """
         k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
         xis = params["alpha"] * k_F
-        g = den ** params["beta"]
+        g = powr(den, params["beta"])
 
         def K_tilde(k2_, xi_sparse):
             return 4.0 * np.pi / (k2_[..., None] + xi_sparse**2)
 
-        if isinstance(xis, jax.core.Tracer):
-            if self.xi_sparse is None:
-                raise RuntimeError(
-                    "YukawaGGA: call prepare(box_vecs, den) with a concrete "
-                    "density before tracing (jit/grad) the functional.")
-            ladder = self.xi_sparse
+        if not self.spline:
+            u = field_dependent_convolution_naive(k2, K_tilde, g, xis)
         else:
-            ladder = None
-        u = field_dependent_convolution(k2, K_tilde, g, xis, kappa=self.kappa,
-                                        mode=self.mode, xi_sparse=ladder)
-        return 3.0 * np.pi * params["alpha"]**2 / (4.0 * k_F * den ** (params["beta"] - 1.0)) * u
+            if isinstance(xis, jax.core.Tracer):
+                if self.xi_sparse is None:
+                    raise RuntimeError(
+                        "YukawaGGA: call prepare(box_vecs, den) with a "
+                        "concrete density before tracing (jit/grad) the "
+                        "functional.")
+                ladder = self.xi_sparse
+            else:
+                ladder = None
+            u = field_dependent_convolution(k2, K_tilde, g, xis,
+                                            kappa=self.kappa, mode=self.mode,
+                                            xi_sparse=ladder)
+        return (3.0 * np.pi * params["alpha"]**2
+                / (4.0 * k_F * powr(den, params["beta"] - 1.0)) * u)
 
     def apply(self, params, box_vecs, den):
         vol = volume(box_vecs)

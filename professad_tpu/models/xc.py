@@ -9,8 +9,8 @@ to 1e-10.
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.grid import (wavevecs, volume, grad_dot_grad,
-                        reduced_gradient_squared, qmean, powr, log_hp)
+from ..ops.grid import (wavevecs, volume, grad_dot_grad, qmean, powr,
+                        log_hp)
 
 __all__ = [
     "lda_exchange", "perdew_zunger_correlation", "perdew_wang_correlation",
@@ -75,30 +75,46 @@ def Chachiyo(box_vecs, den):
     return lda_exchange(box_vecs, den) + chachiyo_correlation(box_vecs, den)
 
 
-def pbe_exchange(box_vecs, den):
-    """PBE exchange (parity: functionals.py:1597-1603)."""
-    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+def _pbe_exchange_density(den, gdg):
+    """PBE exchange energy density from den and |grad n|^2 (shared with the
+    distributed evaluation path, parallel/pfft.py)."""
     eps_x = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * powr(den, 4.0 / 3.0)
-    s2 = reduced_gradient_squared(kx, ky, kz, den)
+    s2 = (0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+          * gdg * powr(den, -8.0 / 3.0))
     kappa = 0.804
     mu = 0.066725 * np.pi**2 / 3.0
     Fx = 1.0 + kappa - kappa / (1.0 + mu / kappa * s2)
-    return qmean(Fx * eps_x) * volume(box_vecs)
+    return Fx * eps_x
 
 
-def pbe_correlation(box_vecs, den):
-    """PBE correlation (parity: functionals.py:1606-1618, incl. 1e-30 guards)."""
-    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+def _pbe_correlation_density(den, gdg):
+    """PBE correlation energy density from den and |grad n|^2 (incl. the
+    reference's 1e-30 guards; shared with parallel/pfft.py)."""
     rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
     eps_c = _pw92_eps(rs)
     beta = 0.066725
     gamma = float(1.0 - np.log(2.0)) / np.pi**2  # plain float: keeps f32 weak-typing
     A = beta / gamma / (jnp.exp(-eps_c / gamma) - 1.0 + 1e-30)
     t2 = ((1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0)
-          * grad_dot_grad(kx, ky, kz, den) / (powr(den, 7.0 / 3.0) + 1e-30))
+          * gdg / (powr(den, 7.0 / 3.0) + 1e-30))
     At2 = A * t2
-    H = gamma * log_hp(1.0 + beta / gamma * t2 * (1.0 + At2) / (1.0 + At2 + At2 * At2))
-    return qmean((eps_c + H) * den) * volume(box_vecs)
+    H = gamma * log_hp(1.0 + beta / gamma * t2 * (1.0 + At2)
+                       / (1.0 + At2 + At2 * At2))
+    return (eps_c + H) * den
+
+
+def pbe_exchange(box_vecs, den):
+    """PBE exchange (parity: functionals.py:1597-1603)."""
+    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+    gdg = grad_dot_grad(kx, ky, kz, den)
+    return qmean(_pbe_exchange_density(den, gdg)) * volume(box_vecs)
+
+
+def pbe_correlation(box_vecs, den):
+    """PBE correlation (parity: functionals.py:1606-1618, incl. 1e-30 guards)."""
+    kx, ky, kz, k2 = wavevecs(box_vecs, den.shape)
+    gdg = grad_dot_grad(kx, ky, kz, den)
+    return qmean(_pbe_correlation_density(den, gdg)) * volume(box_vecs)
 
 
 def PerdewBurkeErnzerhof(box_vecs, den):

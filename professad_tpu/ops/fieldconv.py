@@ -17,11 +17,14 @@ reproduces the reference behaviour exactly.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .interp import interpolate_kernel
+from .grid import _freq_indices
 
-__all__ = ["xi_ladder", "field_dependent_convolution"]
+__all__ = ["xi_ladder", "field_dependent_convolution",
+           "field_dependent_convolution_naive"]
 
 
 def xi_ladder(xi_min, xi_max, kappa, mode="arithmetic"):
@@ -71,3 +74,66 @@ def field_dependent_convolution(k, f_tilde, g, xis, kappa=None, mode="arithmetic
     g_tilde = jnp.fft.rfftn(g)[..., None]
     conv = jnp.fft.irfftn(f_tilde(k, xi_sparse) * g_tilde, s=g.shape, axes=(0, 1, 2))
     return interpolate_kernel(xi_sparse, conv, xis)
+
+
+def field_dependent_convolution_naive(k, f_tilde, g, xis, batch=512):
+    """Exact per-point field-dependent convolution (no ladder interpolation).
+
+    For every grid point r, builds the constant-xi kernel at xi(r) and takes
+    the r-th entry of the convolution with g — the reference's ``spline=False``
+    fallback (functionals.py:465-471), which there is a triple Python loop of
+    full irfftn calls.  Here each point needs only ONE row of the inverse
+    transform, so we evaluate that row directly:
+
+        u(r) = (1/N) sum_k c_k f~(k, xi(r)) Re[ g~(k) e^{i k.r} ]
+
+    over the stored rfftn half-spectrum, with c_k = 1 on the t=0 and (even
+    n3) Nyquist planes (stored in full) and 2 elsewhere, batched over grid
+    points with ``lax.map`` — O(N^2) work but fully vectorized, no O(N) FFT
+    dispatches.  The kernel transform ``f_tilde`` must be real (true for all
+    |k|-dependent kernels) and elementwise in its first argument.
+
+    Intended as the library-level cross-check oracle for the spline method
+    (VERDICT round 2, missing item 4); use on coarse grids only.
+    """
+    shape = g.shape
+    n0, n1, n2 = shape
+    m2 = n2 // 2 + 1
+    N = n0 * n1 * n2
+    dt = g.dtype
+    g_tilde = jnp.fft.rfftn(g)
+    gr = jnp.real(g_tilde).reshape(-1).astype(dt)
+    gi = jnp.imag(g_tilde).reshape(-1).astype(dt)
+    j0, j1, j2 = _freq_indices(shape)
+    J0 = np.broadcast_to(j0, (n0, n1, m2)).reshape(-1)
+    J1 = np.broadcast_to(j1, (n0, n1, m2)).reshape(-1)
+    J2 = np.broadcast_to(j2, (n0, n1, m2)).reshape(-1)
+    w = np.full(m2, 2.0)
+    w[0] = 1.0
+    if n2 % 2 == 0:
+        w[-1] = 1.0
+    W3 = jnp.asarray(np.broadcast_to(w, (n0, n1, m2)).reshape(-1), dt)
+    # phase angles depend only on integer indices (2 pi j.i / n), not the cell
+    A0 = jnp.asarray(2.0 * np.pi * J0 / n0, dt)
+    A1 = jnp.asarray(2.0 * np.pi * J1 / n1, dt)
+    A2 = jnp.asarray(2.0 * np.pi * J2 / n2, dt)
+    kflat = k.reshape(-1)
+
+    xis_flat = xis.reshape(-1)
+    pad = (-N) % batch
+    idx = jnp.arange(N + pad)
+    xis_pad = jnp.concatenate([xis_flat, jnp.full((pad,), xis_flat[0], dt)])
+
+    def one_batch(args):
+        ib, xib = args
+        i0 = (ib // (n1 * n2)).astype(dt)
+        i1 = ((ib // n2) % n1).astype(dt)
+        i2 = (ib % n2).astype(dt)
+        theta = (A0[:, None] * i0 + A1[:, None] * i1 + A2[:, None] * i2)
+        Wk = f_tilde(kflat, xib)  # (H, B)
+        # inverse-transform row: Re[g~ e^{+i theta}] = gr cos - gi sin
+        re = jnp.cos(theta) * gr[:, None] - jnp.sin(theta) * gi[:, None]
+        return jnp.sum(W3[:, None] * Wk * re, axis=0) / N
+
+    u = jax.lax.map(one_batch, (idx.reshape(-1, batch), xis_pad.reshape(-1, batch)))
+    return u.reshape(-1)[:N].reshape(shape)

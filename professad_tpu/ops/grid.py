@@ -26,7 +26,8 @@ __all__ = [
     "wavevecs", "wavenumbers", "grad_i", "grad_dot_grad", "laplacian",
     "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
     "safe_sqrt", "volume", "rfft_shape", "inv3x3", "imul", "expi", "powr",
-    "log_hp", "rfftn", "irfftn", "set_fft_mode", "get_fft_mode",
+    "log_hp", "exp_hp", "rfftn", "irfftn", "set_fft_mode", "get_fft_mode",
+    "Spectrum",
 ]
 
 
@@ -36,7 +37,22 @@ def inv3x3(m):
     TPU note: XLA:TPU's LuDecomposition supports only f32, so
     ``jnp.linalg.inv`` breaks the f64 path on device; the closed form is
     dtype-polymorphic, cheaper, and cleanly differentiable.
+
+    Eager (concrete) calls raise on a singular or near-singular matrix —
+    the reference asserts cell invertibility (functional_tools.py:150); a
+    degenerate cell mid-geometry-optimization must be a diagnosable error,
+    not silent inf/NaN.  Traced calls (inside jit/grad) skip the check;
+    the host-side geometry loops validate the concrete cell each step.
     """
+    if not isinstance(m, jax.core.Tracer):
+        mc = np.asarray(m, dtype=np.float64)
+        det_c = np.linalg.det(mc)
+        # Hadamard bound: |det| <= prod of row norms; small ratio = singular
+        scale = float(np.prod(np.sqrt(np.sum(mc * mc, axis=1))))
+        if not np.isfinite(det_c) or abs(det_c) <= 1e-12 * max(scale, 1e-300):
+            raise ValueError(
+                f"inv3x3: singular or near-singular matrix (det={det_c:.3e}, "
+                f"row-norm scale={scale:.3e}); degenerate cell?")
     a, b, c = m[0, 0], m[0, 1], m[0, 2]
     d, e, f = m[1, 0], m[1, 1], m[1, 2]
     g, h, i = m[2, 0], m[2, 1], m[2, 2]
@@ -110,8 +126,11 @@ def imul(k, ft):
 
     Avoids Python ``1j`` literals, which materialize complex128 constants
     under x64 — TPU supports C64 only.  Also cheaper than a general complex
-    multiply (2 real multiplies instead of 4).
+    multiply (2 real multiplies instead of 4).  Handles the ``Spectrum``
+    pair representation of the on-TPU f64 tier transparently.
     """
+    if isinstance(ft, Spectrum):
+        return Spectrum(-k * ft.im, k * ft.re)
     return jax.lax.complex(-k * jnp.imag(ft), k * jnp.real(ft))
 
 
@@ -176,12 +195,16 @@ def safe_sqrt(x):
 
 
 def _cbrt_newton(x):
-    """Accurate f32 cube root for positive x: fast-path seed + one Newton
+    """Accurate f32 cube root for non-negative x: fast-path seed + one Newton
     step.  TPU's pow/cbrt go through approximate exp/log (~1e-6 relative,
     biased); one Newton iteration y <- (2y + x/y^2)/3 restores ~1-ulp
-    accuracy using only correctly-rounded multiply/divide."""
-    y = jnp.cbrt(x)
-    return (2.0 * y + x / (y * y)) / 3.0
+    accuracy using only correctly-rounded multiply/divide.  The step is
+    zero-safe: at x=0 the raw update is 0/0, so the denominator is guarded
+    and the result pinned to cbrt(0)=0 — matching ``x ** (1/3)``."""
+    pos = x > 0
+    xs = jnp.where(pos, x, 1.0)  # guard the input too: NaN-free gradients
+    y = jnp.cbrt(xs)
+    return jnp.where(pos, (2.0 * y + xs / (y * y)) / 3.0, 0.0)
 
 
 _LN2_HI = np.float32(0.6931457519531250)   # high bits of ln 2, exact in f32
@@ -208,6 +231,42 @@ def _log32_jvp(primals, tangents):
     x, = primals
     t, = tangents
     return _log32(x), t / x
+
+
+@jax.custom_jvp
+def _exp32(x):
+    # range reduction: x = n ln2 + r with |r| <= ln2/2, n exact in f32
+    n = jnp.round(x * np.float32(1.4426950408889634))  # 1/ln2
+    r = (x - n * _LN2_HI) - n * _LN2_LO
+    # degree-7 Taylor on |r| <= 0.3466: truncation ~ r^8/8! < 5e-9
+    p = 1.0 / 5040.0
+    for c in (1.0 / 720.0, 1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0, 1.0):
+        p = p * r + c
+    return jnp.ldexp(p, n.astype(jnp.int32))
+
+
+@_exp32.defjvp
+def _exp32_jvp(primals, tangents):
+    # ldexp is not differentiable; the analytic derivative is exp itself
+    x, = primals
+    t, = tangents
+    y = _exp32(x)
+    return y, t * y
+
+
+def exp_hp(x):
+    """Accurate f32 exponential.
+
+    TPU's ``exp`` shares the approximate-transcendental unit with ``pow`` /
+    ``log`` (~1e-6 biased relative error).  This version reduces by the
+    two-constant ln 2 split (n exact, |r| <= ln2/2) and evaluates e^r with a
+    degree-7 Horner polynomial — only correctly-rounded add/mul plus an
+    exact ``ldexp`` scale, ~1-2 ulp total.  The derivative is the function
+    itself via custom_jvp.  f64 falls through to ``jnp.exp``.
+    """
+    if x.dtype != jnp.float32:
+        return jnp.exp(x)
+    return _exp32(x)
 
 
 def log_hp(x):
@@ -241,13 +300,23 @@ def powr(x, p):
     denominator 1, 2, 3 or 6, so we build them from integer powers (exact),
     sqrt (correctly rounded on the VPU), and a Newton-refined cube root.
 
-    Exponents that aren't small multiples of 1/6 (trainable or irrational,
-    e.g. WGC98's (5 +- sqrt 5)/6) fall back to ``**``, as does the f64 tier
-    (bit-parity with the reference).  Zero/negative x are NOT guarded here
-    — call sites floor the density first, exactly as they must for ``**``.
+    Exponents that aren't small multiples of 1/6 (concrete but irrational
+    or arbitrary, e.g. WGC98's (5 +- sqrt 5)/6 or the HC family's beta) take
+    the compensated route exp_hp(p * log_hp(x)) — still built only from
+    correctly-rounded primitives (~3e-7 unbiased vs ~1e-6 biased for the
+    TPU ``pow``), zero-guarded so powr(0, p>0) == 0.  Only TRACED exponents
+    (differentiating w.r.t. a trainable p) fall back to ``**``, as does the
+    f64 tier (bit-parity with the reference).  powr(0, p) == 0 for p > 0,
+    matching ``**`` (the cube-root Newton step is zero-safe); negative
+    exponents at x=0 produce inf, exactly as ``**`` does — call sites floor
+    the density for those, as they must for ``**``.
     """
-    if isinstance(p, jnp.ndarray) or x.dtype != jnp.float32:
+    if x.dtype != jnp.float32:
         return x ** p
+    if isinstance(p, jnp.ndarray):
+        if isinstance(p, jax.core.Tracer) or p.ndim != 0:
+            return x ** p
+        p = float(p)  # concrete 0-d parameter (e.g. HC beta): use fast path
     num = root = None
     for r in (1, 2, 3, 6):
         n = p * r
@@ -255,7 +324,14 @@ def powr(x, p):
             num, root = int(round(n)), r
             break
     if num is None:
-        return x ** p
+        if p == 0:
+            return jnp.ones_like(x)  # x**0 == 1 everywhere, incl. x=0
+        # general concrete exponent: compensated exp(p log x), zero-guarded
+        pos = x > 0
+        xs = jnp.where(pos, x, 1.0)
+        out = exp_hp(jnp.asarray(p, x.dtype) * log_hp(xs))
+        zero_val = np.float32(0.0) if p > 0 else np.float32(np.inf)
+        return jnp.where(pos, out, zero_val)
     inv = num < 0
     num = -num if inv else num
     if root == 1:
@@ -292,19 +368,103 @@ def wavenumbers(box_vecs, shape):
 # "native" is jnp.fft (XLA backend FFT).  Mode "matmul" uses ops.tpufft's
 # full-precision MXU matmul DFT — measured on TPU v5e at 128^3: 0.77 vs
 # 0.875 ms/transform and 3.2e-7 vs 7.5e-7 relative error, i.e. both faster
-# and more accurate than the backend FFT.  The mode is read at TRACE time:
-# set it before building jitted closures (bench.py sets it for TPU runs).
+# and more accurate than the backend FFT.  Mode "pair" is the on-TPU
+# HIGH-PRECISION tier: the matmul DFT carried as an explicit (re, im) pair
+# of REAL arrays (``Spectrum``) — XLA:TPU emulates f64 for real arithmetic
+# (measured 2e-14 matmul, 2e-13 exp/log on v5e) but supports no complex128
+# type and no f64 FFT kernel, so the complex container is what blocks the
+# f64 correctness tier from the device, not the arithmetic.  The mode is
+# read at TRACE time: set it before building jitted closures (bench.py sets
+# it for TPU runs).
 
 _FFT_MODE = "native"
 
 
+class Spectrum:
+    """A half-spectrum carried as explicit (re, im) real arrays.
+
+    Supports exactly the arithmetic the energy terms use on spectra —
+    multiplication by real kernels, complex multiply, add/sub/neg, .real /
+    .imag — as plain real ops, so the f64 tier traces on TPU (no complex128
+    there).  Registered as a pytree: jit/grad/vmap treat it transparently.
+    """
+
+    __slots__ = ("re", "im")
+    __array_priority__ = 100  # our __rmul__ wins over ndarray __mul__
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+    @property
+    def real(self):
+        return self.re
+
+    @property
+    def imag(self):
+        return self.im
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    def __mul__(self, o):
+        if isinstance(o, Spectrum):
+            return Spectrum(self.re * o.re - self.im * o.im,
+                            self.re * o.im + self.im * o.re)
+        return Spectrum(self.re * o, self.im * o)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        if isinstance(o, Spectrum):
+            return Spectrum(self.re + o.re, self.im + o.im)
+        return Spectrum(self.re + o, self.im)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, Spectrum):
+            return Spectrum(self.re - o.re, self.im - o.im)
+        return Spectrum(self.re - o, self.im)
+
+    def __rsub__(self, o):
+        return Spectrum(o - self.re, -self.im)
+
+    def __neg__(self):
+        return Spectrum(-self.re, -self.im)
+
+    def __truediv__(self, o):
+        if isinstance(o, Spectrum):
+            raise TypeError("Spectrum / Spectrum not supported")
+        return Spectrum(self.re / o, self.im / o)
+
+    def __getitem__(self, idx):
+        return Spectrum(self.re[idx], self.im[idx])
+
+    def conj(self):
+        return Spectrum(self.re, -self.im)
+
+
+jax.tree_util.register_pytree_node(
+    Spectrum,
+    lambda s: ((s.re, s.im), None),
+    lambda _, ch: Spectrum(*ch),
+)
+
+
 def set_fft_mode(mode):
-    """Select the 3-D FFT implementation: "native" (jnp.fft) or "matmul"
-    (ops.tpufft MXU DFT; TPU fast path).  Affects subsequently traced
-    functions only."""
+    """Select the 3-D FFT implementation: "native" (jnp.fft), "matmul"
+    (ops.tpufft MXU DFT; complex output) or "pair" (matmul DFT as a real
+    (re, im) ``Spectrum`` — the on-TPU f64 high-precision tier).  Affects
+    subsequently traced functions only."""
     global _FFT_MODE
-    if mode not in ("native", "matmul"):
-        raise ValueError('fft mode must be "native" or "matmul"')
+    if mode not in ("native", "matmul", "pair"):
+        raise ValueError('fft mode must be "native", "matmul" or "pair"')
     _FFT_MODE = mode
 
 
@@ -317,11 +477,17 @@ def rfftn(x):
     if _FFT_MODE == "matmul" and x.ndim == 3:
         from . import tpufft
         return tpufft.rfftn_hp(x)
+    if _FFT_MODE == "pair" and x.ndim == 3:
+        from . import tpufft
+        return Spectrum(*tpufft.rfftn_pair(x))
     return jnp.fft.rfftn(x)
 
 
 def irfftn(X, shape):
     """Inverse of :func:`rfftn` (1/N-normalized, real output)."""
+    if isinstance(X, Spectrum):
+        from . import tpufft
+        return tpufft.irfftn_pair(X.re, X.im, shape)
     if _FFT_MODE == "matmul" and X.ndim == 3:
         from . import tpufft
         return tpufft.irfftn_hp(X, shape)
@@ -350,8 +516,6 @@ def laplacian(k2, f):
 
 
 # ---------------------------- density descriptors ---------------------------
-
-_CS = lambda: None  # placeholder to keep constants local
 
 def reduced_gradient(kx, ky, kz, den):
     """s = |grad n| / (2 (3 pi^2)^{1/3} n^{4/3}) (functional_tools.py:230-249)."""

@@ -166,14 +166,22 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 
     def body(carry):
         st, f_prev, cnt, it = carry
-        st = lbfgs_iterations(value_and_grad, st, block, lr, apply_H0=apply_H0)
+        st_new = lbfgs_iterations(value_and_grad, st, block, lr,
+                                  apply_H0=apply_H0)
+        # freeze converged lanes: under vmap (batched EOS volume scans) the
+        # while_loop body keeps running until EVERY lane's cond is false, so
+        # a converged lane must stop mutating or its noise bounce could
+        # reset the counter and un-converge it (same as tpgd_minimize)
+        done = cnt >= conv_count
+        st_new = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), st_new, st)
         if stop_fn is None:
-            stop_var = jnp.abs(st.f - f_prev) * f_scale
+            stop_var = jnp.abs(st_new.f - f_prev) * f_scale
         else:
-            stop_var = stop_fn(st, f_prev)
+            stop_var = stop_fn(st_new, f_prev)
         hit = jnp.logical_and(it + 1 > skip_iters, stop_var < ntol)
-        cnt = jnp.where(hit, cnt + 1, 0)
-        return (st, st.f, cnt, it + 1)
+        cnt = jnp.where(done, cnt, jnp.where(hit, cnt + 1, 0))
+        return (st_new, st_new.f, cnt, jnp.where(done, it, it + 1))
 
     init = (state0, state0.f, jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32))
@@ -188,9 +196,12 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 
     Steps ``x <- x - H M g`` where ``M`` is the (optional) spectral
     preconditioner and ``H`` the secant scale ``y.s / y.My`` from the last
-    move — i.e. Barzilai-Borwein in the M-inner product (``M=None`` reduces
-    to the reference's TPGD, two_point_gradient_descent.py:25-65, in
-    whole-program form).
+    move — i.e. the BB2 step in the M-inner product.  NOTE: this is a
+    deliberately different iteration from the reference's TPGD
+    (two_point_gradient_descent.py:25-65 uses BB1, s.s/s.y); BB2 is the
+    shorter, more conservative BB step and measured better under f32
+    gradient noise with the exact preconditioner.  ``tpgd_step`` below is
+    the faithful BB1 parity implementation.
 
     Rationale vs ``lbfgs_minimize`` on the f32 tier: near the minimum the
     L-BFGS curvature pairs (s, y) become f32-noise-dominated and poison the
@@ -251,6 +262,7 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
         return (st_new, cnt, jnp.where(done, it, it + 1), damp, stag)
 
     st0 = TPGDState(x=x0f, f=f0, g=g0, x_prev=x0f, g_prev=g0,
+                    Mg_prev=jnp.zeros_like(g0),
                     n_iter=jnp.zeros((), jnp.int32))
     init = (st0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.ones((), dt), jnp.zeros((), jnp.int32))
@@ -261,18 +273,29 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
     """One (preconditioned) TPGD update — the steady-state hot-path step
     that ``tpgd_minimize`` loops; exposed for benchmarking/rooflining.
-    ``scale`` damps the BB step (see tpgd_minimize's stagnation logic)."""
+    ``scale`` damps the BB step (see tpgd_minimize's stagnation logic).
+
+    The preconditioner is applied ONCE per iteration: M is linear (a
+    spectral multiply), so M y = M g - M g_prev and the previous
+    application is carried in the state (``Mg_prev``) — at 128^3 this
+    removes 2 of the iteration's ~36 FFT transforms.
+    """
     dt = st.x.dtype
     M = (lambda v: v) if apply_H0 is None else apply_H0
     first = st.n_iter == 0
     y = st.g - st.g_prev
     s = st.x - st.x_prev
-    My = M(y)
+    Mg = M(st.g)
+    My = Mg - st.Mg_prev
     ys = jnp.dot(y, s)
     yMy = jnp.dot(y, My)
-    H = jnp.where(jnp.logical_or(first, ys <= 0.0), jnp.ones((), dt),
+    # non-positive curvature (non-convex segment) or first move: fall back to
+    # an lr-scaled step rather than a unit step, mirroring the reference
+    # TPGD's safeguard (two_point_gradient_descent.py:25-65)
+    H = jnp.where(jnp.logical_or(first, ys <= 0.0),
+                  jnp.full((), lr, dt),
                   ys / jnp.where(yMy != 0, yMy, 1.0))
-    d = -M(st.g)
+    d = -Mg
     # first step: gradient-magnitude-calibrated like the L-BFGS path
     t = jnp.where(first,
                   jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(d))) * lr,
@@ -280,7 +303,8 @@ def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
     x_new = st.x + t * d
     f_new, g_new = value_and_grad(x_new)
     return TPGDState(x=x_new, f=f_new, g=g_new.reshape(-1),
-                     x_prev=st.x, g_prev=st.g, n_iter=st.n_iter + 1)
+                     x_prev=st.x, g_prev=st.g, Mg_prev=Mg,
+                     n_iter=st.n_iter + 1)
 
 
 class TPGDState(NamedTuple):
@@ -289,6 +313,7 @@ class TPGDState(NamedTuple):
     g: jnp.ndarray
     x_prev: jnp.ndarray
     g_prev: jnp.ndarray
+    Mg_prev: jnp.ndarray    # preconditioned previous gradient (see iteration)
     n_iter: jnp.ndarray
 
 
@@ -296,7 +321,8 @@ def tpgd_init(value_and_grad, x0):
     f0, g0 = value_and_grad(x0)
     x = x0.reshape(-1)
     return TPGDState(x=x, f=f0, g=g0.reshape(-1), x_prev=x,
-                     g_prev=jnp.zeros_like(x), n_iter=jnp.zeros((), jnp.int32))
+                     g_prev=jnp.zeros_like(x), Mg_prev=jnp.zeros_like(x),
+                     n_iter=jnp.zeros((), jnp.int32))
 
 
 def tpgd_step(value_and_grad, lr, state: TPGDState) -> TPGDState:
@@ -314,4 +340,5 @@ def tpgd_step(value_and_grad, lr, state: TPGDState) -> TPGDState:
     f_new, g_new = value_and_grad(x_new)
     return TPGDState(x=x_new, f=f_new, g=g_new.reshape(-1),
                      x_prev=state.x, g_prev=state.g,
+                     Mg_prev=state.Mg_prev,  # unused by the BB1 parity path
                      n_iter=state.n_iter + 1)
