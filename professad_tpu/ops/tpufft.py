@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rfftn_hp", "irfftn_hp"]
+__all__ = ["rfftn_hp", "irfftn_hp", "rfftn_pair", "irfftn_pair"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -125,22 +125,20 @@ def _cplx_idft_axis(re, im, axis):
     return jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis)
 
 
-def rfftn_hp(x):
-    """``jnp.fft.rfftn`` equivalent for 3-D real input, full-precision MXU
-    matmul implementation.  Returns complex64/complex128."""
+def rfftn_pair(x):
+    """3-D real DFT returning the half spectrum as a (re, im) pair of REAL
+    arrays — the complex-free form the on-TPU f64 tier needs (XLA:TPU has
+    no complex128 type; the f64 *arithmetic* is emulated fine)."""
     Cr, Sr = _rdft_tables(x.shape[-1], x.dtype.name)
     re = _mm_last(x, Cr)
     im = _mm_last(x, Sr)
     re, im = _cplx_dft_axis(re, im, 1)
     re, im = _cplx_dft_axis(re, im, 0)
-    return jax.lax.complex(re, im)
+    return re, im
 
 
-def irfftn_hp(X, shape):
-    """``jnp.fft.irfftn`` equivalent (1/N-normalized) for the rfftn half
-    spectrum, full-precision MXU matmul implementation."""
-    re = jnp.real(X)
-    im = jnp.imag(X)
+def irfftn_pair(re, im, shape):
+    """Inverse of :func:`rfftn_pair` (1/N-normalized real output)."""
     # inverse transforms along the two full axes carry 1/n each via scaling
     re, im = _cplx_idft_axis(re, im, 0)
     re, im = _cplx_idft_axis(re, im, 1)
@@ -148,3 +146,15 @@ def irfftn_hp(X, shape):
     Ci, Si = _irdft_tables(shape[-1], re.dtype.name)
     out = _mm_last(re, Ci) + _mm_last(im, Si)
     return out / (n0 * n1)
+
+
+def rfftn_hp(x):
+    """``jnp.fft.rfftn`` equivalent for 3-D real input, full-precision MXU
+    matmul implementation.  Returns complex64/complex128."""
+    return jax.lax.complex(*rfftn_pair(x))
+
+
+def irfftn_hp(X, shape):
+    """``jnp.fft.irfftn`` equivalent (1/N-normalized) for the rfftn half
+    spectrum, full-precision MXU matmul implementation."""
+    return irfftn_pair(jnp.real(X), jnp.imag(X), shape)

@@ -1,0 +1,132 @@
+"""On-TPU high-precision tier: tier-1 derivative identities ON the device.
+
+VERDICT round 2, missing item 2 / SURVEY.md section 7 hard-part (2): the
+rtol-1e-10 correctness tier used to run f64-on-CPU only.  XLA:TPU *emulates*
+f64 for real arithmetic (measured on v5e: 2e-14 matmul, 2e-13 exp/log
+relative error) — what it lacks is a complex128 type and an f64 FFT kernel.
+The ``"pair"`` FFT mode (``ops.grid.Spectrum`` + ``ops.tpufft`` matmul DFT)
+removes the complex container, so the full f64 energy/grad path traces and
+runs on the TPU.
+
+These tests compute autodiff functional derivatives and stresses on the TPU
+at f64 and compare against the hand-derived analytic forms evaluated on the
+CPU f64 reference tier — an independent cross-check at <= 1e-9 relative.
+Skipped when no TPU device is attached.  First run compiles remotely
+(minutes per program under axon); the persistent cache makes reruns fast.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from professad_tpu.ops import grid
+from professad_tpu.models import (ThomasFermi, WangTeter, Hartree,
+                                  pbe_exchange, perdew_wang_correlation,
+                                  Weizsaecker)
+from paths import pot
+import tools_for_tests as tt
+
+
+def _tpu_device():
+    for d in jax.devices():
+        if "TPU" in getattr(d, "device_kind", ""):
+            return d
+    return None
+
+pytestmark = pytest.mark.skipif(_tpu_device() is None,
+                                reason="no TPU device attached")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _compile_cache():
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+@pytest.fixture(scope="module")
+def state():
+    """A converged Li2 density (CPU f64) + its device copies; pair FFT mode
+    is active for the duration of the module."""
+    from professad_tpu.system import System
+    from professad_tpu.models import (IonIon, IonElectron,
+                                      PerdewBurkeErnzerhof)
+
+    shape = (16, 16, 16)
+    box_len = 6.96
+    box_vecs = box_len * jnp.eye(3)
+    ions = [["Li", pot("li.gga.recpot"),
+             box_len * jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    system = System(box_vecs, shape, ions, terms, units="b")
+    system.optimize_density(ntol=1e-10)
+
+    dev = _tpu_device()
+    box_d = jax.device_put(system._box_vecs, dev)
+    den_d = jax.device_put(system._den, dev)
+
+    grid.set_fft_mode("pair")
+    yield {"box": system._box_vecs, "den": system._den,
+           "box_d": box_d, "den_d": den_d, "vol": system.volume("b3")}
+    grid.set_fft_mode("native")
+
+
+CASES = [
+    ("TF", ThomasFermi, tt.TF_kp),
+    ("vW", Weizsaecker, tt.vW_kp),
+    ("WT", WangTeter, lambda b, n: tt.non_local_KEFD(b, n, 5 / 6, 5 / 6)),
+    ("Hartree", Hartree, tt.hartree_potential),
+    ("PBEx", pbe_exchange, tt.pbe_exchange_potential),
+    ("PWc", perdew_wang_correlation, tt.perdew_wang_correlation_potential),
+]
+
+
+@pytest.mark.parametrize("name,functional,analytic", CASES,
+                         ids=[c[0] for c in CASES])
+def test_functional_derivative_on_tpu(state, name, functional, analytic):
+    """jax.grad on the TPU (f64, pair-FFT) == analytic potential on CPU."""
+    quad_w = state["vol"] / state["den"].size
+
+    dEdn_tpu = jax.jit(jax.grad(functional, argnums=1))(
+        state["box_d"], state["den_d"]) / quad_w
+
+    grid.set_fft_mode("native")
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref = np.asarray(analytic(state["box"], state["den"]))
+    finally:
+        grid.set_fft_mode("pair")
+
+    got = np.asarray(dEdn_tpu)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-9, \
+        (name, np.max(np.abs(got - ref)) / scale)
+
+
+def test_stress_on_tpu(state):
+    """Autodiff WT+Hartree stress on the TPU (f64, pair-FFT) == the same
+    computed natively on CPU, at 1e-9 relative (fixed-N density rescale,
+    differentiable wavevecs)."""
+    den0, box0, vol0 = state["den"], state["box"], state["vol"]
+
+    def total(b, den_ref):
+        den = den_ref * vol0 / grid.volume(b)
+        return WangTeter(b, den) + Hartree(b, den)
+
+    dEdh_tpu = jax.jit(jax.grad(total))(state["box_d"], state["den_d"])
+
+    grid.set_fft_mode("native")
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            dEdh_cpu = jax.jit(jax.grad(total))(box0, den0)
+    finally:
+        grid.set_fft_mode("pair")
+
+    got, ref = np.asarray(dEdh_tpu), np.asarray(dEdh_cpu)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-9, \
+        np.max(np.abs(got - ref)) / np.max(np.abs(ref))
