@@ -1,6 +1,6 @@
 """PROFESS-AD-TPU: a TPU-native, JAX auto-differentiable orbital-free DFT library.
 
-Rebuild of profess-dev/profess-ad (PyTorch) as an idiomatic JAX/XLA/Pallas
+Rebuild of profess-dev/profess-ad (PyTorch) as an idiomatic JAX/XLA
 package: plane-wave energy functionals over batched 3-D FFTs, functional
 derivatives / forces / stresses via ``jax.grad``, a ``lax.while_loop``
 L-BFGS density optimizer compiled as one XLA program, and implicit
