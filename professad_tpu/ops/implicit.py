@@ -29,11 +29,22 @@ gauge-invariant outputs are unaffected.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["implicit_ground_state"]
+__all__ = ["implicit_ground_state", "newton_refined_ground_state"]
+
+
+def _warn_residual(rel, tol):
+    import sys
+    import numpy as _np
+    if _np.any(_np.asarray(rel) > tol):
+        print(f"WARNING: implicit_ground_state: CG Hessian solve stagnated "
+              f"(relative residual {float(_np.max(_np.asarray(rel))):.3e} > "
+              f"{tol:.1e}); implicit second derivatives may be inaccurate — "
+              f"check preconditioning / Hessian conditioning.",
+              file=sys.stderr, flush=True)
 
 
 def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
-                          cg_maxiter=2000, precond=None):
+                          cg_maxiter=2000, precond=None, check_tol=1e-6):
     """Mark a converged chi as the stationary point of ``energy_fn``.
 
     Args:
@@ -48,6 +59,14 @@ def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
                  chi-Hessian's condition number grows like k_max^4
                  (vW k^2/4 at high k, Hartree 4 pi n0/k^2 at low k), so
                  unpreconditioned CG stagnates on fine grids.
+      check_tol: relative-residual threshold for the post-solve diagnostic:
+                 after each CG solve the true residual |H u + b| / |b| is
+                 measured (one extra Hessian-vector product) and a warning
+                 is printed from inside the compiled program when it
+                 exceeds this — an ill-conditioned Hessian (large cells,
+                 HC-family functionals) would otherwise silently yield
+                 wrong second derivatives (xitorch in the reference at
+                 least exposes solver diagnostics).  Set None to disable.
 
     Returns:
       chi with implicit-differentiation semantics: downstream ``jax.grad`` /
@@ -91,6 +110,13 @@ def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
         def cg_solve(mv, rhs):
             x, _ = jax.scipy.sparse.linalg.cg(mv, rhs, tol=cg_tol,
                                               maxiter=cg_maxiter, M=precond)
+            if check_tol is not None:
+                rel = (jnp.linalg.norm(mv(x) - rhs)
+                       / (jnp.linalg.norm(rhs) + 1e-300))
+                # threshold host-side in the callback: a traced lax.cond
+                # around a debug print lowers to select under vmap/jvp
+                # (both branches execute) and would fire spuriously
+                jax.debug.callback(_warn_residual, rel, check_tol)
             return x
 
         # b = d/dt grad_chi E(chi*, theta + t dtheta): linear in tangents
@@ -106,3 +132,79 @@ def implicit_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
         return chi_opt, u
 
     return chi_star(*args)
+
+
+def newton_refined_ground_state(energy_fn, chi_opt, args=(), cg_tol=1e-12,
+                                cg_maxiter=2000, precond=None, steps=1):
+    """chi*(theta) as an explicitly differentiable Newton map — for
+    HIGHER-ORDER mixed derivatives.
+
+    ``implicit_ground_state``'s custom_jvp rule freezes the linearization
+    point at the converged chi, which makes FIRST derivatives exact (IFT)
+    and SECOND derivatives of the scalar objective exact (they only need
+    d(chi*)/dtheta), but truncates the d2(chi*)/dtheta2 terms that THIRD
+    derivatives — e.g. d(bulk modulus)/d(functional params) — require
+    (measured: ~40% error on dK/dmu vs finite differences).
+
+    Here instead chi*(theta) ~= N(chi0, theta) with chi0 the converged
+    density held CONSTANT and N the Newton map
+
+        N(c, theta) = c - H(c, theta)^{-1} grad_chi E(c, theta)
+
+    built from ordinary differentiable pieces (the Hessian solve is a
+    ``lax.custom_linear_solve`` around preconditioned CG, so derivatives of
+    the solve are computed analytically, not by differentiating the CG
+    loop).  All theta-dependence is explicit, so derivatives of EVERY order
+    are those of this closed-form expression, which agree with the true
+    chi*(theta) derivatives to O(||chi0 - chi*||) ~ the density-optimizer
+    residual.  Costs one full Hessian solve per ``steps`` under each
+    differentiation pass — use for training-loss gradients on small grids;
+    the custom_jvp version remains the fast path for first/second
+    derivatives.
+
+    Gauge note: as in ``implicit_ground_state``, the chi-scale zero mode is
+    projected out and shifted (constant direction chi0/|chi0|; gauge errors
+    are O(residual) and do not affect gauge-invariant outputs).
+    """
+    chi0 = jax.lax.stop_gradient(chi_opt)
+    chihat = chi0 / jnp.linalg.norm(chi0)
+
+    def cg_solve(mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(mv, rhs, tol=cg_tol,
+                                          maxiter=cg_maxiter, M=precond)
+        return x
+
+    def newton(c, theta):
+        grad_chi = jax.grad(energy_fn, argnums=0)
+        g = grad_chi(c, *theta)
+
+        def hvp(v):
+            return jax.jvp(lambda cc: grad_chi(cc, *theta), (c,), (v,))[1]
+
+        # constant SPD shift scale along the gauge mode (detached: its only
+        # role is to make the solve nonsingular in the projected-out
+        # direction)
+        v0 = jnp.roll(chihat, 1)
+        v0 = v0 - jnp.vdot(chihat, v0) * chihat
+        nrm = jnp.linalg.norm(v0)
+        alt = jnp.sin(jnp.arange(chihat.size, dtype=chihat.dtype)
+                      ).reshape(chihat.shape)
+        alt = alt - jnp.vdot(chihat, alt) * chihat
+        v0 = jnp.where(nrm > 1e-7, v0 / (nrm + 1e-300),
+                       alt / (jnp.linalg.norm(alt) + 1e-300))
+        shift = jax.lax.stop_gradient(jnp.linalg.norm(hvp(v0))) + 1e-30
+
+        def mv(v):
+            return hvp(v) + shift * jnp.vdot(chihat, v) * chihat
+
+        rhs = g - jnp.vdot(chihat, g) * chihat
+        u = jax.lax.custom_linear_solve(mv, rhs, solve=cg_solve,
+                                        transpose_solve=cg_solve,
+                                        symmetric=True)
+        u = u - jnp.vdot(chihat, u) * chihat
+        return c - u
+
+    chi = chi0
+    for _ in range(steps):
+        chi = newton(chi, args)
+    return chi
