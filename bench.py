@@ -103,8 +103,13 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
     from professad_tpu.ops import solvers
 
     K = 32
-    vg = lambda x: jax.value_and_grad(system._chi_energy)(
-        x, box_vecs, v_ext, N_elec)
+    analytic = os.environ.get("BENCH_ANALYTIC", "1") != "0"
+    if analytic:
+        vg = lambda x: system._chi_value_and_grad_analytic(
+            x, box_vecs, v_ext, N_elec)
+    else:
+        vg = lambda x: jax.value_and_grad(system._chi_energy)(
+            x, box_vecs, v_ext, N_elec)
     kernel = jax.jit(system._exact_precond_kernel)(box_vecs, N_elec)
     jax.block_until_ready(kernel)
 
@@ -237,6 +242,14 @@ def run_config(n, trials, measure_roofline_too=True):
         _grid.set_fft_mode("matmul")
         log("[bench] fft mode: matmul (MXU DFT at Precision.HIGHEST)")
 
+    # fused analytic potentials (models/potentials.py): one forward sweep
+    # computes E and dE/dn with shared spectra — measured on v5e at 128^3:
+    # 0.092 s / 19 iters vs 0.156 s / 22 iters for reverse-mode autodiff
+    # (same converged energy to 2.5 ueV/atom).  BENCH_ANALYTIC=0 reverts
+    # to the autodiff gradient path.
+    analytic = os.environ.get("BENCH_ANALYTIC", "1") != "0"
+    log(f"[bench] gradient path: {'fused analytic' if analytic else 'autodiff'}")
+
     def full(chi0):
         # whole optimization as one XLA program: exact-spectral-
         # preconditioned TPGD (near-Newton steps, no L-BFGS memory for f32
@@ -244,7 +257,7 @@ def run_config(n, trials, measure_roofline_too=True):
         # checked every iteration after 2
         return system._jit_tpgd_full(chi0, box_vecs, v_ext, N_elec, 1.0,
                                      ntol, 3, 1000, precondition=True,
-                                     skip_iters=2)
+                                     skip_iters=2, analytic=analytic)
 
     # ---- compile + warm (untimed) ----------------------------------------
     t0 = time.perf_counter()

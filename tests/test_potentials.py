@@ -1,0 +1,122 @@
+"""Fused analytic potentials (models/potentials.py) vs autodiff.
+
+The analytic (E, dE/dn) sweep is the TPU fast-path gradient; it must agree
+with jax.grad of the term energies at tier-1 tolerances — the same
+autodiff-vs-pencil-and-paper identity the reference's test suite is built
+on (reference tests/tools_for_tests.py), here stated in reverse: autodiff
+is the oracle and the fused production formulas are under test.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from professad_tpu.system import System
+from professad_tpu.models import (IonIon, IonElectron, Hartree, ThomasFermi,
+                                  Weizsaecker, WangTeter, Perrot,
+                                  SmargiassiMadden, WangGovindCarter98,
+                                  PerdewBurkeErnzerhof, lda_exchange,
+                                  perdew_wang_correlation, PerdewWang)
+from professad_tpu.models.potentials import (value_and_potential,
+                                             supported_terms)
+from paths import pot
+
+
+def _state(shape=(14, 14, 14)):
+    rng = np.random.default_rng(5)
+    box = jnp.asarray(7.3 * np.eye(3) + 0.15 * rng.standard_normal((3, 3)))
+    den = jnp.asarray(0.25 + 0.1 * rng.random(shape))
+    vext = jnp.asarray(0.1 * rng.standard_normal(shape))
+    return box, den, vext
+
+
+TERMS = [IonElectron, Hartree, ThomasFermi, Weizsaecker, WangTeter, Perrot,
+         SmargiassiMadden, WangGovindCarter98, PerdewBurkeErnzerhof,
+         lda_exchange, perdew_wang_correlation, PerdewWang]
+
+
+@pytest.mark.parametrize("term", TERMS, ids=lambda t: t.__name__)
+def test_value_and_potential_matches_autodiff(term):
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    E, pot = value_and_potential([term], box, den, vext)
+
+    if term.__name__ == "IonElectron":
+        E_ref = float(term(box, den, vext))
+        g = jax.grad(lambda d: term(box, d, vext))(den)
+    else:
+        E_ref = float(term(box, den))
+        g = jax.grad(lambda d: term(box, d))(den)
+    pot_ref = np.asarray(g) / quad_w
+
+    assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12, (float(E), E_ref)
+    scale = np.max(np.abs(pot_ref))
+    assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10, \
+        term.__name__
+
+
+def test_chi_gradient_matches_autodiff():
+    """System._chi_value_and_grad_analytic == value_and_grad(_chi_energy)
+    at f64 (the full chain incl. the chi-parameterization and mu term)."""
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    s = System(box_vecs, (12, 12, 12), ions, terms, units="a",
+               coord_type="fractional")
+    rng = np.random.default_rng(0)
+    chi = jnp.asarray(0.2 + 0.05 * rng.random(12**3))
+
+    E_a, g_a = s._chi_value_and_grad_analytic(chi, s._box_vecs, s._v_ext,
+                                              s._N_elec)
+    E_d, g_d = jax.value_and_grad(s._chi_energy)(chi, s._box_vecs, s._v_ext,
+                                                 s._N_elec)
+    assert abs(float(E_a) - float(E_d)) / abs(float(E_d)) < 1e-12
+    g_d = np.asarray(g_d).reshape(-1)
+    g_a = np.asarray(g_a)
+    assert np.max(np.abs(g_a - g_d)) / np.max(np.abs(g_d)) < 1e-10
+
+
+def test_optimize_density_analytic_end_to_end():
+    """analytic=True lands on the same ground state as the autodiff path."""
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    s1 = System(box_vecs, (14, 14, 14), ions, terms, units="a",
+                coord_type="fractional")
+    s1.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                        n_step_size=1.0)
+    s2 = System(box_vecs, (14, 14, 14), ions, terms, units="a",
+                coord_type="fractional")
+    s2.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                        n_step_size=1.0, analytic=True)
+    assert abs(s1.energy("eV") - s2.energy("eV")) < 1e-7
+    # TPGD variant too (the TPU bench path)
+    s3 = System(box_vecs, (14, 14, 14), ions, terms, units="a",
+                coord_type="fractional")
+    s3.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                        n_step_size=1.0, n_method="TPGD", skip_iters=2,
+                        analytic=True)
+    assert abs(s1.energy("eV") - s3.energy("eV")) < 1e-7
+
+
+def test_analytic_rejects_unsupported_terms():
+    from professad_tpu.models import HuangCarter
+
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    hc = HuangCarter((0.45, 0.51, 1.2))
+    terms = [IonIon, IonElectron, Hartree, hc.forward, PerdewBurkeErnzerhof]
+    assert not supported_terms(terms)
+    s = System(box_vecs, (8, 8, 8), ions, terms, units="a",
+               coord_type="fractional")
+    with pytest.raises(ValueError, match="analytic"):
+        s.optimize_density(jit_loop=True, analytic=True, n_maxiter=2)
