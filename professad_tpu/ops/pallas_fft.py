@@ -102,12 +102,15 @@ def _make_kernels(shape, dtype_name, interpret):
     Tz = _tables(n2, m2, dtype_name)  # z axis (half)
     dt = jnp.dtype(dtype_name)
 
-    Cz, Sz = jnp.asarray(Tz["Cz"]), jnp.asarray(Tz["Sz"])
-    Czi, Szi = jnp.asarray(Tz["Czi"]), jnp.asarray(Tz["Szi"])
-    Cy, Sy = jnp.asarray(T1["C"]), jnp.asarray(T1["S"])
-    Cyi, Syi = jnp.asarray(T1["Ci"]), jnp.asarray(T1["Si"])
-    Cx, Sx = jnp.asarray(T0["C"]), jnp.asarray(T0["S"])
-    Cxi, Sxi = jnp.asarray(T0["Ci"]), jnp.asarray(T0["Si"])
+    # tables stay HOST numpy in this (lru-cached) closure: converting to
+    # jnp here would capture tracers when the cache is first populated
+    # inside a jit trace, leaking them into later traces
+    Cz, Sz = Tz["Cz"], Tz["Sz"]
+    Czi, Szi = Tz["Czi"], Tz["Szi"]
+    Cy, Sy = T1["C"], T1["S"]
+    Cyi, Syi = T1["Ci"], T1["Si"]
+    Cx, Sx = T0["C"], T0["S"]
+    Cxi, Sxi = T0["Ci"], T0["Si"]
 
     def _rep(shape2d):
         # table input: whole array, same block for every program
@@ -138,7 +141,8 @@ def _make_kernels(shape, dtype_name, interpret):
     )
 
     def pass_a(x):
-        return pass_a_call(x, Cz, Sz, Cy, Sy)
+        return pass_a_call(x, jnp.asarray(Cz), jnp.asarray(Sz),
+                           jnp.asarray(Cy), jnp.asarray(Sy))
 
     # ---- pass B: per ky-chunk, DFT_x + K-multiply + iDFT_x --------------
     CHUNK = max(1, min(8, n1))
@@ -177,7 +181,8 @@ def _make_kernels(shape, dtype_name, interpret):
     )
 
     def pass_b(re, im, K):
-        return pass_b_call(re, im, K, Cx, Sx, Cxi, Sxi)
+        return pass_b_call(re, im, K, jnp.asarray(Cx), jnp.asarray(Sx),
+                           jnp.asarray(Cxi), jnp.asarray(Sxi))
 
     # ---- pass C: per x-plane, iDFT_y + irDFT_z --------------------------
     def kernel_c(re_ref, im_ref, cyi_ref, syi_ref, czi_ref, szi_ref,
@@ -203,7 +208,8 @@ def _make_kernels(shape, dtype_name, interpret):
     )
 
     def pass_c(re, im):
-        return pass_c_call(re, im, Cyi, Syi, Czi, Szi)
+        return pass_c_call(re, im, jnp.asarray(Cyi), jnp.asarray(Syi),
+                           jnp.asarray(Czi), jnp.asarray(Szi))
 
     def conv(x, K):
         re, im = pass_a(x)

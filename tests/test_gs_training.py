@@ -27,11 +27,11 @@ def _fcc_al_pg(pg, shape=(10, 10, 10)):
                   coord_type="fractional")
 
 
-def _gs_energy_at(params):
+def _gs_energy_at(params, shape=(10, 10, 10)):
     """Fresh system with the given PG params, fully optimized."""
     pg = PauliGaussian()
     pg.params = {k: jnp.asarray(v) for k, v in params.items()}
-    s = _fcc_al_pg(pg)
+    s = _fcc_al_pg(pg, shape=shape)
     s.optimize_density(ntol=1e-12, n_maxiter=3000)
     return s
 
@@ -98,7 +98,10 @@ def test_gs_pressure_and_bulk_modulus_grads_vs_fd():
     pg = PauliGaussian()
     p0 = {k: np.float64(v) for k, v in pg.params.items()}
 
-    s = _gs_energy_at(p0)
+    # 8^3 keeps the third-order nested-AD cost manageable (the physics of
+    # the derivative identity is grid-size independent)
+    shape = (8, 8, 8)
+    s = _gs_energy_at(p0, shape=shape)
     pg_term = next(t for t in s._terms if isinstance(t, PauliGaussian))
 
     fn_P = s.gs_volume_property_fn(pg_term, property="pressure")
@@ -120,10 +123,10 @@ def test_gs_pressure_and_bulk_modulus_grads_vs_fd():
     for key in ("mu",):
         pp = dict(p0)
         pp[key] = p0[key] + eps
-        sp = _gs_energy_at(pp)
+        sp = _gs_energy_at(pp, shape=shape)
         pm = dict(p0)
         pm[key] = p0[key] - eps
-        sm = _gs_energy_at(pm)
+        sm = _gs_energy_at(pm, shape=shape)
         fd_P = (sp.pressure("Ha/b3") - sm.pressure("Ha/b3")) / (2.0 * eps)
         fd_K = (sp.bulk_modulus("Ha/b3") - sm.bulk_modulus("Ha/b3")) / (2.0 * eps)
         # tolerance floor set by the FD probe itself: P/K carry ~1e-9/1e-6
