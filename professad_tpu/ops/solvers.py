@@ -191,7 +191,7 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
 
 def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
                   max_iter=1000, f_scale=1.0, skip_iters=2, apply_H0=None,
-                  stop_fn=None, stag_k=6):
+                  stop_fn=None, stag_k=6, axis_name=None):
     """Whole preconditioned two-point gradient descent as ONE XLA program.
 
     Steps ``x <- x - H M g`` where ``M`` is the (optional) spectral
@@ -216,6 +216,13 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
     Same stopping rule as ``lbfgs_minimize`` with block=1: ``stop_var <
     ntol`` for ``conv_count`` consecutive iterations, checked after
     ``skip_iters`` iterations.  Returns (state, n_iters, converged).
+
+    ``axis_name``: run SPMD inside ``shard_map`` — ``x0`` is the LOCAL
+    shard of the flat variable, ``value_and_grad`` returns (global scalar,
+    local gradient shard), and every inner product is psum'd over the
+    named axis.  The whole while_loop then executes identically on every
+    device with only scalar collectives added (the pencil-FFT distributed
+    path, parallel/pfft.py).
     """
     f0, g0 = value_and_grad(x0)
     g0 = g0.reshape(-1)
@@ -230,7 +237,7 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
     def body(carry):
         st, cnt, it, damp, stag = carry
         st_new = tpgd_iteration(value_and_grad, st, lr, apply_H0=apply_H0,
-                                scale=damp)
+                                scale=damp, axis_name=axis_name)
         # freeze converged lanes: under vmap (batched EOS volume scans) the
         # while_loop body keeps running until EVERY lane's cond is false, so
         # a converged lane must stop mutating or its noise bounce could
@@ -270,7 +277,8 @@ def tpgd_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
     return st, it, cnt >= conv_count
 
 
-def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
+def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0,
+                   axis_name=None):
     """One (preconditioned) TPGD update — the steady-state hot-path step
     that ``tpgd_minimize`` loops; exposed for benchmarking/rooflining.
     ``scale`` damps the BB step (see tpgd_minimize's stagnation logic).
@@ -279,7 +287,16 @@ def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
     spectral multiply), so M y = M g - M g_prev and the previous
     application is carried in the state (``Mg_prev``) — at 128^3 this
     removes 2 of the iteration's ~36 FFT transforms.
+
+    ``axis_name``: SPMD mode (see tpgd_minimize) — inner products are
+    psum'd over the named mesh axis.
     """
+    if axis_name is None:
+        pdot = jnp.dot
+        psum1 = lambda v: jnp.sum(jnp.abs(v))
+    else:
+        pdot = lambda a, b: jax.lax.psum(jnp.dot(a, b), axis_name)
+        psum1 = lambda v: jax.lax.psum(jnp.sum(jnp.abs(v)), axis_name)
     dt = st.x.dtype
     M = (lambda v: v) if apply_H0 is None else apply_H0
     first = st.n_iter == 0
@@ -287,8 +304,8 @@ def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
     s = st.x - st.x_prev
     Mg = M(st.g)
     My = Mg - st.Mg_prev
-    ys = jnp.dot(y, s)
-    yMy = jnp.dot(y, My)
+    ys = pdot(y, s)
+    yMy = pdot(y, My)
     # non-positive curvature (non-convex segment) or first move: fall back to
     # an lr-scaled step rather than a unit step, mirroring the reference
     # TPGD's safeguard (two_point_gradient_descent.py:25-65)
@@ -298,7 +315,7 @@ def tpgd_iteration(value_and_grad, st, lr, apply_H0=None, scale=1.0):
     d = -Mg
     # first step: gradient-magnitude-calibrated like the L-BFGS path
     t = jnp.where(first,
-                  jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(d))) * lr,
+                  jnp.minimum(1.0, 1.0 / psum1(d)) * lr,
                   H * scale)
     x_new = st.x + t * d
     f_new, g_new = value_and_grad(x_new)

@@ -38,7 +38,9 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.grid import inv3x3, _freq_indices
 
-__all__ = ["prfftn", "pirfftn", "pwavevecs", "pconv", "make_penergy"]
+__all__ = ["prfftn", "pirfftn", "pwavevecs", "pconv", "make_penergy",
+           "pmean", "pqmean", "penergy_wt_pbe", "pvalue_and_potential_wt_pbe",
+           "pchi_value_and_grad", "pencil_tpgd_minimize"]
 
 
 def prfftn(x_local, axis_name="grid"):
@@ -121,6 +123,26 @@ def pmean(x_local, axis_name="grid"):
         jnp.asarray(x_local.size, x_local.dtype), axis_name)
 
 
+def pqmean(x_local, axis_name="grid"):
+    """Distributed analogue of ops.grid.qmean: f64-accurate global mean for
+    ENERGY accumulation on the f32 tier (local f32 column sums combined in
+    emulated f64, then one f64 psum) — without it the dE < 1e-7 eV stopping
+    rule is undetectable in f32.  f64 inputs take the plain path."""
+    if x_local.dtype != jnp.float32:
+        return pmean(x_local, axis_name)
+    cols = 512
+    n = x_local.size
+    pad = (-n) % cols
+    xf = x_local.reshape(-1)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad,), x_local.dtype)])
+    partial = jnp.sum(xf.reshape(-1, cols), axis=0)
+    s_local = jnp.sum(partial.astype(jnp.float64))
+    tot = lax.psum(s_local, axis_name)
+    N = lax.psum(jnp.asarray(n, jnp.float64), axis_name)
+    return tot / N
+
+
 def penergy_wt_pbe(box_vecs, den_local, v_ext_local, shape,
                    axis_name="grid"):
     """Complete fcc-Al-style energy — IonElectron + Hartree + WangTeter +
@@ -195,3 +217,206 @@ def penergy_wt_pbe(box_vecs, den_local, v_ext_local, shape,
     E_xc = pmean(ex + ec, axis_name) * vol
 
     return E_ie + E_h + E_vw + E_tf + E_wt + E_xc
+
+
+def pvalue_and_potential_wt_pbe(box_vecs, den_local, v_ext_local, shape,
+                                axis_name="grid"):
+    """Distributed fused (E, dE/dn): the pencil-FFT analogue of
+    models/potentials.py for the IonElectron + Hartree + WangTeter + PBE
+    set (call INSIDE shard_map).
+
+    Returns (global scalar E, local potential slab).  Same 13-transform
+    forward sweep as the serial analytic path — every transform a pencil
+    FFT with one all_to_all, every reduction a psum; no gathers, no
+    reverse-mode residuals.  This is the production multi-chip gradient.
+    """
+    from ..models.kinetic_local import TF_COEFF
+    from ..models.kinetic_nonlocal import G_inv_lind
+    from ..models.xc import _pbe_exchange_density, _pbe_correlation_density
+    from ..ops.grid import safe_sqrt, powr
+
+    vol = jnp.abs(jnp.linalg.det(box_vecs))
+    kx, ky, kz, k2 = pwavevecs(box_vecs, shape, axis_name)
+    den_ft = prfftn(den_local, axis_name)
+
+    # IonElectron
+    E = pqmean(den_local * v_ext_local, axis_name) * vol
+    pot = v_ext_local
+
+    # Hartree
+    nz = k2 != 0
+    coul = jnp.where(nz, 4.0 * np.pi / jnp.where(nz, k2, 1.0), 0.0)
+    v_h = pirfftn(coul * den_ft, shape, axis_name)
+    E = E + 0.5 * pqmean(den_local * v_h, axis_name) * vol
+    pot = pot + v_h
+
+    # ThomasFermi
+    E = E + TF_COEFF * pqmean(powr(den_local, 5.0 / 3.0), axis_name) * vol
+    pot = pot + (5.0 / 3.0) * TF_COEFF * powr(den_local, 2.0 / 3.0)
+
+    # Weizsaecker (Laplacian form; 1/4 lap n integrates to zero exactly)
+    sqrt_den = safe_sqrt(den_local)
+    lap_s = pirfftn(-k2 * prfftn(sqrt_den, axis_name), shape, axis_name)
+    E = E - 0.5 * pqmean(sqrt_den * lap_s, axis_name) * vol
+    pos = den_local > 0
+    pot = pot + jnp.where(
+        pos, -0.5 * lap_s / jnp.where(pos, sqrt_den, 1.0), 0.0)
+
+    # WangTeter nonlocal (alpha = beta = 5/6)
+    alpha = beta = 5.0 / 6.0
+    n0 = lax.stop_gradient(pmean(den_local, axis_name) * vol) / vol
+    k_F = (3.0 * np.pi ** 2 * n0) ** (1.0 / 3.0)
+    eta = safe_sqrt(k2) / (2.0 * k_F)
+    G_inv = G_inv_lind(eta)
+    kern = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
+            * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
+    d_a = powr(den_local, alpha) - n0 ** alpha
+    conv = pirfftn(kern * prfftn(d_a, axis_name), shape, axis_name)
+    E = E + TF_COEFF * pqmean(d_a * conv, axis_name) * vol
+    pot = pot + TF_COEFF * 2.0 * alpha * powr(den_local, alpha - 1.0) * conv
+
+    # PBE x + c: shared gradient fields, combined divergence
+    def igrad(ki):
+        return pirfftn(lax.complex(-ki * jnp.imag(den_ft),
+                                   ki * jnp.real(den_ft)), shape, axis_name)
+
+    gx, gy, gz = igrad(kx), igrad(ky), igrad(kz)
+    gdg = gx * gx + gy * gy + gz * gz
+    E = E + pqmean(_pbe_exchange_density(den_local, gdg)
+                   + _pbe_correlation_density(den_local, gdg),
+                   axis_name) * vol
+
+    den = den_local
+    epsx = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * powr(den, 1.0 / 3.0)
+    depsx = -(1.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * powr(den, -2.0 / 3.0)
+    s2 = 0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0) * gdg * powr(den, -8.0 / 3.0)
+    kap, mu_x = 0.804, 0.066725 * np.pi**2 / 3.0
+    dFx_ds2 = mu_x / (1.0 + mu_x / kap * s2) ** 2
+    Fx = 1.0 + kap - kap / (1.0 + mu_x / kap * s2)
+    ds2_dgn2 = 0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0) * powr(den, -8.0 / 3.0)
+    ds2_dn = -(8.0 / 3.0) * s2 / den
+    df_dn_x = Fx * (depsx * den + epsx) + dFx_ds2 * ds2_dn * epsx * den
+    df_dgn2_x = dFx_ds2 * ds2_dgn2 * epsx * den
+
+    from ..models.potentials import _pw92_eps_and_deriv
+    from ..ops.grid import log_hp
+    eps_c, deps_dn_c = _pw92_eps_and_deriv(den)
+    beta_c, gamma = 0.066725, float(1.0 - np.log(2.0)) / np.pi**2
+    A = beta_c / gamma / (jnp.exp(-eps_c / gamma) - 1.0 + 1e-30)
+    dAdn = 1.0 / beta_c * A * A * jnp.exp(-eps_c / gamma) * deps_dn_c
+    t2 = ((1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0)
+          * gdg / (powr(den, 7.0 / 3.0) + 1e-30))
+    dt2dn = -7.0 / 3.0 * t2 / den
+    dt2dgn2 = (1.0 / 16.0) * (np.pi / 3.0) ** (1.0 / 3.0) / (
+        powr(den, 7.0 / 3.0) + 1e-30)
+    At2 = A * t2
+    numer = 1.0 + At2
+    denom = 1.0 + At2 + At2 * At2
+    H = gamma * log_hp(1.0 + beta_c / gamma * t2 * (numer / denom))
+    numer2 = 1.0 + 2.0 * At2
+    eH = jnp.exp(-H / gamma)
+    dHdn = beta_c * eH * (
+        (dt2dn * numer2 + dAdn * t2 * t2) / denom
+        - t2 * numer / denom**2 * (dt2dn * A * numer2 + dAdn * t2 * numer2))
+    dH_dgn2 = beta_c * eH * (
+        dt2dgn2 * numer2 / denom
+        - At2 * numer / denom**2 * dt2dgn2 * numer2)
+    df_dn_c = eps_c + H + den * (deps_dn_c + dHdn)
+    df_dgn2_c = den * dH_dgn2
+
+    w = df_dgn2_x + df_dgn2_c
+    Fv = (prfftn(w * gx, axis_name) * 1.0, prfftn(w * gy, axis_name),
+          prfftn(w * gz, axis_name))
+    div_ft = (lax.complex(-kx * jnp.imag(Fv[0]), kx * jnp.real(Fv[0]))
+              + lax.complex(-ky * jnp.imag(Fv[1]), ky * jnp.real(Fv[1]))
+              + lax.complex(-kz * jnp.imag(Fv[2]), kz * jnp.real(Fv[2])))
+    aux = -2.0 * pirfftn(div_ft, shape, axis_name)
+    pot = pot + df_dn_x + df_dn_c + aux
+    return E, pot
+
+
+def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
+                        shape, axis_name="grid"):
+    """Distributed chi-parameterized (E, dE/dchi): the SPMD analogue of
+    System._chi_value_and_grad_analytic (call INSIDE shard_map).
+
+    ``chi_local_flat``: this device's contiguous block of the flat chi
+    vector (= its slab, row-major).  Returns (global scalar E, local flat
+    gradient shard).
+    """
+    n_dev = lax.axis_size(axis_name)
+    local_shape = (shape[0] // n_dev, shape[1], shape[2])
+    chi = chi_local_flat.reshape(local_shape)
+    vol = jnp.abs(jnp.linalg.det(box_vecs))
+    N_tilde = pmean(chi * chi, axis_name) * vol
+    den_pre = (N_elec / N_tilde) * chi * chi
+    if chi.dtype == jnp.float32:
+        c = 1e-10 * N_elec / vol
+        s = N_elec / (N_elec + c * vol)
+        den = (den_pre + c) * s
+    else:
+        s = 1.0
+        den = den_pre
+    E, pot = pvalue_and_potential_wt_pbe(box_vecs, den, v_ext_local, shape,
+                                         axis_name)
+    quad_w = vol / (shape[0] * shape[1] * shape[2])
+    mu = pmean(pot * den_pre, axis_name) * vol / N_elec
+    dEdchi = s * (N_elec / N_tilde) * 2.0 * chi * (pot - mu) * quad_w
+    return E, dEdchi.reshape(-1)
+
+
+def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
+                         M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
+                         max_iter=1000, skip_iters=2, f_scale=27.211386245988,
+                         axis_name="grid"):
+    """Whole distributed density optimization as ONE SPMD program.
+
+    The full production solver — exact-preconditioned TPGD with the dE
+    stopping rule — run under ``shard_map``: pencil FFTs (one all_to_all
+    per transform), psum reductions, psum'd BB inner products
+    (ops/solvers.py ``axis_name`` mode).  NOTHING is ever gathered; the
+    per-device working set is the full problem divided by the mesh size,
+    which is what makes >single-chip grids reachable.
+
+    Args mirror ``System._jit_tpgd_full``; ``M_kernel`` is the exact
+    uniform-density preconditioner diagonal (half-spectrum, global — it is
+    sharded along k-axis 1 automatically).  Returns (state, iters,
+    converged) with state.x sharded like ``chi0``.
+    """
+    from jax.sharding import NamedSharding
+    from ..ops import solvers
+
+    P_ = P
+    flat = P_(axis_name)
+
+    def body(chi_local, box, vext_local, M_slab):
+        n_dev = lax.axis_size(axis_name)
+        local_shape = (shape[0] // n_dev, shape[1], shape[2])
+
+        vg = lambda x: pchi_value_and_grad(x, box, vext_local, N_elec,
+                                           shape, axis_name)
+
+        def aH0(q):
+            X = prfftn(q.reshape(local_shape), axis_name)
+            return pirfftn(M_slab * X, shape, axis_name).reshape(q.shape)
+
+        return solvers.tpgd_minimize(vg, chi_local, lr=lr, ntol=ntol,
+                                     conv_count=conv_count,
+                                     max_iter=max_iter, f_scale=f_scale,
+                                     apply_H0=aH0, skip_iters=skip_iters,
+                                     axis_name=axis_name)
+
+    st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat, x_prev=flat,
+                                 g_prev=flat, Mg_prev=flat, n_iter=P_())
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(flat, P_(), P_(axis_name, None, None),
+                  P_(None, axis_name, None)),
+        out_specs=(st_specs, P_(), P_()), check_vma=False)
+
+    chi0 = jax.device_put(chi0, NamedSharding(mesh, flat))
+    v_ext = jax.device_put(v_ext, NamedSharding(mesh, P_(axis_name, None,
+                                                         None)))
+    M_kernel = jax.device_put(M_kernel,
+                              NamedSharding(mesh, P_(None, axis_name, None)))
+    return jax.jit(fn)(chi0, box_vecs, v_ext, M_kernel)

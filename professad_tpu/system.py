@@ -717,17 +717,38 @@ class System:
         args = (self._box_vecs, self._v_ext, self._N_elec)
 
         if mesh is not None:
-            # Distributed path: shard the flat chi vector and the external
-            # potential along the mesh's "grid" axis (spatial slab
-            # decomposition of the first FFT axis); GSPMD then partitions
-            # the whole while_loop program — sharded FFTs with all-to-all
-            # transposes over ICI, psum'd energy reductions.  Input
-            # shardings define the layout; no per-op annotations needed.
             from jax.sharding import NamedSharding, PartitionSpec as P
             if not jit_loop:
                 raise ValueError("mesh= requires jit_loop=True")
             if "grid" not in mesh.axis_names:
                 raise ValueError('mesh must have a "grid" axis')
+            if analytic and n_method == "TPGD":
+                # PRODUCTION distributed path: hand-written pencil FFTs +
+                # fused analytic potentials + psum'd BB solver under
+                # shard_map (parallel/pfft.py) — the only collectives are
+                # all_to_all transposes and psum scalars; nothing is ever
+                # gathered.  (The GSPMD fallback below is correct but
+                # all-gathers the grid per FFT: the auto-partitioner
+                # cannot partition FFT ops.)
+                from .parallel.pfft import pencil_tpgd_minimize
+                M = self._exact_precond_kernel(self._box_vecs, self._N_elec)
+                state, n_it, conv = pencil_tpgd_minimize(
+                    mesh, self._shape, self._box_vecs, self._v_ext,
+                    self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
+                    conv_count=n_conv_cond_count, max_iter=round(n_maxiter),
+                    skip_iters=skip_iters)
+                self._set_den_from_chi(jnp.asarray(state.x))
+                self._ene = self._compute_energy(
+                    use_ion_cache=self._Eion_cache is not None)
+                if n_verbose:
+                    word = ("successfully converged" if bool(conv)
+                            else "failed to converge")
+                    print(f"Density optimization {word} in {int(n_it)} "
+                          f"step(s)\n")
+                return
+            # GSPMD fallback: shard the flat chi vector and the external
+            # potential along the mesh's "grid" axis; the auto-partitioner
+            # keeps results exact but gathers the grid for each FFT.
             chi0 = jax.device_put(chi0, NamedSharding(mesh, P("grid")))
             v_sh = jax.device_put(self._v_ext,
                                   NamedSharding(mesh, P("grid", None, None)))

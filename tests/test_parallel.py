@@ -292,3 +292,80 @@ def test_vmapped_batched_sharded_fft_probe():
         # backend fixed: parity must hold lane-by-lane
         ref0 = float(WangTeter(box, den_b[0]))
         assert np.isclose(float(out[0][0]), ref0, rtol=1e-10)
+
+
+def test_pencil_whole_optimization_matches_single_device():
+    """The PRODUCTION distributed solver — pencil FFTs + fused analytic
+    potentials + psum'd BB iterations, the whole optimization as one SPMD
+    program (optimize_density(mesh=..., analytic=True, n_method='TPGD'))
+    — lands on the single-device ground state, and its compiled HLO has
+    all-to-all/psum and NO all-gather at all."""
+    import re
+    from professad_tpu.system import System
+    from professad_tpu.models import (IonIon, IonElectron, Hartree,
+                                      PerdewBurkeErnzerhof)
+    from professad_tpu.parallel.pfft import pencil_tpgd_minimize
+    from paths import pot
+
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    shape = (16, 16, 16)
+
+    s_ref = System(box_vecs, shape, ions, terms, units="a",
+                   coord_type="fractional")
+    s_ref.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                           n_step_size=1.0, n_method="TPGD", skip_iters=2,
+                           analytic=True)
+    E_ref = s_ref.energy("eV")
+
+    mesh = _mesh8()
+    s_d = System(box_vecs, shape, ions, terms, units="a",
+                 coord_type="fractional")
+    s_d.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                         n_step_size=1.0, n_method="TPGD", skip_iters=2,
+                         analytic=True, mesh=mesh)
+    assert abs(s_d.energy("eV") - E_ref) < 1e-9, (s_d.energy("eV"), E_ref)
+
+    # HLO of the full solve: collectives yes, gathers no
+    s_h = System(box_vecs, shape, ions, terms, units="a",
+                 coord_type="fractional")
+    chi0 = jnp.sqrt(s_h.density()).reshape(-1)
+    M = jax.jit(s_h._exact_precond_kernel)(s_h._box_vecs,
+                                           float(s_h._N_elec))
+    # reproduce pencil_tpgd_minimize's program and inspect it
+    from jax.sharding import NamedSharding
+    from professad_tpu.parallel import pfft as _pf
+    from professad_tpu.ops import solvers as _sol
+    from jax import shard_map
+
+    def body(chi_local, box, vext_local, M_slab):
+        n_dev = jax.lax.axis_size("grid")
+        local_shape = (shape[0] // n_dev, shape[1], shape[2])
+        vg = lambda x: _pf.pchi_value_and_grad(x, box, vext_local,
+                                               float(s_h._N_elec), shape)
+        def aH0(q):
+            X = _pf.prfftn(q.reshape(local_shape))
+            return _pf.pirfftn(M_slab * X, shape).reshape(q.shape)
+        return _sol.tpgd_minimize(vg, chi_local, lr=1.0, ntol=1e-9,
+                                  max_iter=50, apply_H0=aH0, skip_iters=2,
+                                  axis_name="grid")
+
+    st_specs = _sol.TPGDState(x=P("grid"), f=P(), g=P("grid"),
+                              x_prev=P("grid"), g_prev=P("grid"),
+                              Mg_prev=P("grid"), n_iter=P())
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P("grid"), P(), P("grid", None, None),
+                             P(None, "grid", None)),
+                   out_specs=(st_specs, P(), P()), check_vma=False)
+    chi_sh = jax.device_put(chi0, NamedSharding(mesh, P("grid")))
+    v_sh = jax.device_put(s_h._v_ext,
+                          NamedSharding(mesh, P("grid", None, None)))
+    M_sh = jax.device_put(M, NamedSharding(mesh, P(None, "grid", None)))
+    txt = (jax.jit(fn).lower(chi_sh, s_h._box_vecs, v_sh, M_sh)
+           .compile().as_text())
+    assert txt.count("all-to-all") > 0
+    assert txt.count("all-reduce") > 0
+    assert "all-gather(" not in txt, "distributed solve must not gather"
