@@ -230,6 +230,142 @@ def _vp_pbe(ctx):
     return E_x + E_c, df_dn_x + df_dn_c + aux
 
 
+def _vp_gga_kinetic(ctx, F_and_dF, clamp_s=None):
+    """Shared machinery for GGA Pauli terms: E = vW + qmean(TF_ked F(s)),
+    pot = vW' + F TF' + dF/ds (ds/dn TF_ked) - div(...) — one combined
+    divergence (reference tools_for_tests _gga_kinetic_kp)."""
+    den = ctx.den
+    gdg = ctx.gdg
+    abs_grad = safe_sqrt(gdg)
+    c_s = 0.5 * (3.0 * np.pi**2) ** (-1.0 / 3.0)
+    s = c_s * abs_grad * powr(den, -4.0 / 3.0)
+    if clamp_s is not None:
+        clamped = s >= clamp_s
+        s = jnp.minimum(s, clamp_s)
+    F, dF = F_and_dF(s)
+    if clamp_s is not None:
+        dF = jnp.where(clamped, 0.0, dF)  # min() kills the chain beyond
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E = E_vw + qmean(TF_ked * F) * ctx.vol
+
+    dsdn = c_s * (-4.0 / 3.0) * abs_grad * powr(den, -7.0 / 3.0)
+    dsdgradn = c_s * powr(den, -4.0 / 3.0)
+    term1 = pot_vw + F * (5.0 / 3.0) * TF_COEFF * powr(den, 2.0 / 3.0)
+    term2 = dF * dsdn * TF_ked
+    gx, gy, gz = ctx.grads
+    nzg = abs_grad > 0
+    w = jnp.where(nzg, dF * dsdgradn * TF_ked
+                  / jnp.where(nzg, abs_grad, 1.0), 0.0)
+    term3 = -ctx.divergence(w * gx, w * gy, w * gz)
+    return E, term1 + term2 + term3
+
+
+def _vp_lkt(ctx):
+    def F_and_dF(s):
+        F = 1.0 / jnp.cosh(1.3 * s)
+        return F, -1.3 * jnp.tanh(1.3 * s) * F
+    return _vp_gga_kinetic(ctx, F_and_dF, clamp_s=100.0)
+
+
+def _vp_pauli_gaussian(ctx, params):
+    """PauliGaussian family incl. the q (reduced-Laplacian) terms
+    (reference tools_for_tests PGSL_kp pattern, generalized to the full
+    F = e^{-mu s^2} + beta q^2 - lamb q s^2 + sigma s^4)."""
+    den = ctx.den
+    _, _, _, k2 = ctx.kvecs
+    gdg = ctx.gdg
+    mu = jnp.abs(params["mu"])
+    beta = jnp.abs(params["beta"])
+    lamb = jnp.abs(params["lamb"])
+    sigma = jnp.abs(params["sigma"])
+    c2 = 0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+    s2 = c2 * gdg * powr(den, -8.0 / 3.0)
+    lap_den = irfftn(-k2 * ctx.den_ft, ctx.shape)
+    q = c2 * lap_den * powr(den, -5.0 / 3.0)
+    expms2 = jnp.exp(-mu * s2)
+    F = expms2 + beta * q * q - lamb * q * s2 + sigma * s2 * s2
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E = E_vw + qmean(TF_ked * F) * ctx.vol
+
+    dF_ds2 = -mu * expms2 - lamb * q + 2.0 * sigma * s2
+    dF_dq = 2.0 * beta * q - lamb * s2
+    ds2_dn = -(8.0 / 3.0) * s2 / den
+    ds2_dgn2 = c2 * powr(den, -8.0 / 3.0)
+    dq_dn = -(5.0 / 3.0) * q / den
+    dq_dlapn = c2 * powr(den, -5.0 / 3.0)
+
+    pot = (pot_vw + F * (5.0 / 3.0) * TF_COEFF * powr(den, 2.0 / 3.0)
+           + (dF_ds2 * ds2_dn + dF_dq * dq_dn) * TF_ked)
+    gx, gy, gz = ctx.grads
+    w = dF_ds2 * ds2_dgn2 * TF_ked
+    pot = pot - 2.0 * ctx.divergence(w * gx, w * gy, w * gz)
+    # q contributes through the Laplacian: + lap(dF/dq dq/dlap TF_ked)
+    pot = pot + irfftn(-k2 * rfftn(dF_dq * dq_dlapn * TF_ked), ctx.shape)
+    return E, pot
+
+
+def _vp_vwgtf(ctx, which):
+    """vWGTF1/2: d = n / n0-detached, enhancement G(d) on TF
+    (reference tools-style chain; n0 carries zero density-gradient because
+    the electron count is rounded+detached)."""
+    den = ctx.den
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+    d = den / n0
+    if which == 1:
+        G = 0.9892 * powr(d, -1.2994)
+        dG_dd = 0.9892 * (-1.2994) * powr(d, -2.2994)
+    else:
+        u = 5.7001 * powr(d, 0.2563) - 5.7001
+        ELF = 0.5 * (1.0 + jnp.tanh(u))
+        G = jnp.sqrt(1.0 / ELF - 1.0)
+        sech2 = 1.0 - jnp.tanh(u) ** 2
+        dELF_dd = 0.5 * sech2 * 5.7001 * 0.2563 * powr(d, -0.7437)
+        pos = G > 0
+        dG_dELF = jnp.where(pos, -1.0 / (2.0 * jnp.where(pos, G, 1.0)
+                                         * ELF * ELF), 0.0)
+        dG_dd = dG_dELF * dELF_dd
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E = E_vw + qmean(G * TF_ked) * ctx.vol
+    pot = (pot_vw + dG_dd / n0 * TF_ked
+           + G * (5.0 / 3.0) * TF_COEFF * powr(den, 2.0 / 3.0))
+    return E, pot
+
+
+def _vp_pz_correlation(ctx):
+    den = ctx.den
+    gamma, beta1, beta2 = -0.1423, 1.0529, 0.3334
+    A, B, C, D = 0.0311, -0.048, 0.002, -0.0116
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
+    log_rs = log_hp(rs)
+    eps_hi = A * log_rs + B + C * rs * log_rs + D * rs
+    srs = jnp.sqrt(rs)
+    eps_lo = gamma / (1.0 + beta1 * srs + beta2 * rs)
+    E = qmean(jnp.where(rs < 1.0, eps_hi, eps_lo) * den) * ctx.vol
+    pot_hi = (log_rs * (A + 2.0 / 3.0 * C * rs) + (B - A / 3.0)
+              + rs / 3.0 * (2.0 * D - C))
+    pot_lo = (gamma * (1.0 + 7.0 / 6.0 * beta1 * srs + 4.0 / 3.0 * beta2 * rs)
+              / (1.0 + beta1 * srs + beta2 * rs) ** 2)
+    return E, jnp.where(rs < 1.0, pot_hi, pot_lo)
+
+
+def _vp_chachiyo_correlation(ctx):
+    den = ctx.den
+    a = float(np.log(2.0) - 1.0) / (2.0 * np.pi**2)
+    b = 20.4562557
+    rs = powr(3.0 / (4.0 * np.pi) / den, 1.0 / 3.0)
+    inner = 1.0 + b / rs + b / rs**2
+    eps = a * log_hp(inner)
+    E = qmean(eps * den) * ctx.vol
+    deps_drs = a / inner * (-b / rs**2 - 2.0 * b / rs**3)
+    drs_dn = (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0) * (-1.0 / 3.0) * powr(
+        den, -4.0 / 3.0)
+    return E, deps_drs * drs_dn * den + eps
+
+
 def _vp_lda_exchange(ctx):
     den = ctx.den
     E = (-(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0)
@@ -270,7 +406,19 @@ _DISPATCH = {
     "perdew_wang_correlation": _vp_pw_correlation,
     "PerdewWang": lambda ctx: _sum_vp(ctx, [_vp_lda_exchange,
                                             _vp_pw_correlation]),
+    "LuoKarasievTrickey": _vp_lkt,
+    "vWGTF1": lambda ctx: _vp_vwgtf(ctx, 1),
+    "vWGTF2": lambda ctx: _vp_vwgtf(ctx, 2),
+    "perdew_zunger_correlation": _vp_pz_correlation,
+    "chachiyo_correlation": _vp_chachiyo_correlation,
+    "PerdewZunger": lambda ctx: _sum_vp(ctx, [_vp_lda_exchange,
+                                              _vp_pz_correlation]),
+    "Chachiyo": lambda ctx: _sum_vp(ctx, [_vp_lda_exchange,
+                                          _vp_chachiyo_correlation]),
 }
+
+# trainable classes dispatched by instance: params read from the bound term
+_INSTANCE_NAMES = {"PauliGaussian"}
 
 
 def _sum_vp(ctx, fns):
@@ -288,7 +436,7 @@ def supported_terms(terms):
     from ..system import _term_name
     for t in terms:
         nm = _term_name(t)
-        if nm == "IonIon":
+        if nm == "IonIon" or nm in _INSTANCE_NAMES:
             continue
         if nm not in _DISPATCH:
             return False
@@ -310,7 +458,11 @@ def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None):
         nm = _term_name(t)
         if nm == "IonIon":
             continue
-        e, p = _DISPATCH[nm](ctx)
+        if nm in _INSTANCE_NAMES:
+            owner = getattr(t, "__self__", t)
+            e, p = _vp_pauli_gaussian(ctx, owner.params)
+        else:
+            e, p = _DISPATCH[nm](ctx)
         E = E + e
         pot = pot + p
     return E, pot

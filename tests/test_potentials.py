@@ -17,7 +17,10 @@ from professad_tpu.models import (IonIon, IonElectron, Hartree, ThomasFermi,
                                   Weizsaecker, WangTeter, Perrot,
                                   SmargiassiMadden, WangGovindCarter98,
                                   PerdewBurkeErnzerhof, lda_exchange,
-                                  perdew_wang_correlation, PerdewWang)
+                                  perdew_wang_correlation, PerdewWang,
+                                  LuoKarasievTrickey, vWGTF1, vWGTF2,
+                                  perdew_zunger_correlation,
+                                  chachiyo_correlation, PauliGaussian)
 from professad_tpu.models.potentials import (value_and_potential,
                                              supported_terms)
 from paths import pot
@@ -33,7 +36,9 @@ def _state(shape=(14, 14, 14)):
 
 TERMS = [IonElectron, Hartree, ThomasFermi, Weizsaecker, WangTeter, Perrot,
          SmargiassiMadden, WangGovindCarter98, PerdewBurkeErnzerhof,
-         lda_exchange, perdew_wang_correlation, PerdewWang]
+         lda_exchange, perdew_wang_correlation, PerdewWang,
+         LuoKarasievTrickey, vWGTF1, vWGTF2, perdew_zunger_correlation,
+         chachiyo_correlation]
 
 
 @pytest.mark.parametrize("term", TERMS, ids=lambda t: t.__name__)
@@ -56,6 +61,24 @@ def test_value_and_potential_matches_autodiff(term):
     scale = np.max(np.abs(pot_ref))
     assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10, \
         term.__name__
+
+
+def test_pauli_gaussian_instance_matches_autodiff():
+    """The trainable PauliGaussian (incl. the q Laplacian terms, PGSLr
+    preset) dispatched by instance."""
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+    pg = PauliGaussian()
+    pg.set_PGSLr()
+
+    E, pot = value_and_potential([pg], box, den, vext)
+    E_ref = float(pg.forward(box, den))
+    g = jax.grad(lambda d: pg.forward(box, d))(den)
+    pot_ref = np.asarray(g) / quad_w
+    assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12
+    scale = np.max(np.abs(pot_ref))
+    assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10
 
 
 def test_chi_gradient_matches_autodiff():
