@@ -79,7 +79,13 @@ n0 = 2 * mesh.shape["grid"]
 sys_ = System(box_A, (n0, 16, 16), [["Al", POT, frac]],
               [IonIon, IonElectron, Hartree, WangTeter,
                PerdewBurkeErnzerhof], units="a", coord_type="fractional")
+# analytic=True + TPGD + mesh selects the PRODUCTION distributed solver:
+# hand-written pencil FFTs (one all_to_all per transform) + fused analytic
+# potentials + psum'd BB iterations — the compiled program contains no
+# all-gathers (parallel/pfft.py; the GSPMD fallback for other term sets
+# gathers the grid per FFT because XLA cannot partition FFT ops).
 sys_.optimize_density(ntol=1e-8, jit_loop=True, n_method="TPGD",
                       n_step_size=1.0, precondition=True, skip_iters=2,
-                      mesh=mesh)
-print(f"System-level sharded optimize_density: E = {sys_.energy('eV'):.6f} eV")
+                      mesh=mesh, analytic=True)
+print(f"System-level distributed optimize_density (pencil FFT): "
+      f"E = {sys_.energy('eV'):.6f} eV")

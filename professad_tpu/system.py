@@ -1352,7 +1352,8 @@ class System:
                 max_iter=round(den_opt_inputs["n_maxiter"]),
                 n_method=den_opt_inputs["n_method"],
                 conv_count=den_opt_inputs["n_conv_cond_count"],
-                conv_target=den_opt_inputs["conv_target"])
+                conv_target=den_opt_inputs["conv_target"],
+                analytic=den_opt_kwargs.get("analytic", False))
             if verbose:
                 print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
                                                "Energy [eV per atom]"))
@@ -1379,7 +1380,8 @@ class System:
         return params, err
 
     def _eos_scan_batched(self, vs_A3, norm_box_A, mesh, ntol, lr, max_iter,
-                          n_method="LBFGS", conv_count=3, conv_target="dE"):
+                          n_method="LBFGS", conv_count=3, conv_target="dE",
+                          analytic=False):
         """Batched volume scan: one vmapped whole-optimization XLA program
         over all volume points (the "batch" mesh axis consumer).
 
@@ -1437,9 +1439,20 @@ class System:
         chi_b = jnp.stack(chis)
         N_elec = self._N_elec
 
+        if analytic:
+            from .models.potentials import supported_terms
+            if not supported_terms(self._terms):
+                raise ValueError(
+                    "eos_fit(batched=True, analytic=True) requires every "
+                    "term to have a fused analytic potential.")
+
         def solve(chi0, box, v_ext):
-            vg = lambda x: jax.value_and_grad(self._chi_energy)(
-                x, box, v_ext, N_elec)
+            if analytic:
+                vg = lambda x: self._chi_value_and_grad_analytic(
+                    x, box, v_ext, N_elec)
+            else:
+                vg = lambda x: jax.value_and_grad(self._chi_energy)(
+                    x, box, v_ext, N_elec)
             aH0 = self._exact_precond(box, N_elec)
             if n_method == "TPGD":
                 st, it, conv = solvers.tpgd_minimize(
