@@ -56,18 +56,27 @@ def lbfgs_init(value_and_grad, x0, history=8):
     )
 
 
-def _two_loop(g, S, Y, rho, H_diag, M=None):
+def _pdot(axis_name):
+    """Inner product, psum'd over a mesh axis in SPMD (shard_map) mode."""
+    if axis_name is None:
+        return jnp.dot
+    return lambda a, b: jax.lax.psum(jnp.dot(a, b), axis_name)
+
+
+def _two_loop(g, S, Y, rho, H_diag, M=None, axis_name=None):
     """Two-loop recursion d = -H g over the masked ring buffers
     (parity: lbfgsnew.py:689-713).  Buffers are ordered oldest-first by
     construction (we roll on insert), so a plain scan is correct.
     ``M`` optionally applies a preconditioner as the initial inverse
-    Hessian (r = H_diag * M q)."""
+    Hessian (r = H_diag * M q).  ``axis_name``: SPMD mode over local
+    shards (see tpgd_minimize)."""
     history = S.shape[0]
+    dot = _pdot(axis_name)
 
     def bwd(carry, i):
         q = carry
         idx = history - 1 - i
-        al = rho[idx] * jnp.dot(S[idx], q)
+        al = rho[idx] * dot(S[idx], q)
         q = q - al * Y[idx]
         return q, al
 
@@ -76,7 +85,7 @@ def _two_loop(g, S, Y, rho, H_diag, M=None):
 
     def fwd(carry, i):
         r = carry
-        be = rho[i] * jnp.dot(Y[i], r)
+        be = rho[i] * dot(Y[i], r)
         r = r + (al_rev[history - 1 - i] - be) * S[i]
         return r, None
 
@@ -85,7 +94,8 @@ def _two_loop(g, S, Y, rho, H_diag, M=None):
 
 
 def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int,
-                     lr: float, apply_H0: Callable = None) -> LBFGSState:
+                     lr: float, apply_H0: Callable = None,
+                     axis_name=None) -> LBFGSState:
     """Run ``num_iters`` L-BFGS iterations (the reference's
     ``optimizer.step()`` with ``max_iter=num_iters``), fully jittable.
 
@@ -98,6 +108,7 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
     k).  The reference has no preconditioning.
     """
     history = state.S.shape[0]
+    dot = _pdot(axis_name)
 
     def body(i, st):
         first = st.n_iter == 0
@@ -105,8 +116,8 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
         # --- memory update from the previous move --------------------------
         y = st.g - st.g_prev
         s = st.t_prev * st.d_prev
-        ys = jnp.dot(y, s)
-        sn2 = jnp.dot(s, s)
+        ys = dot(y, s)
+        sn2 = dot(s, s)
         accept = jnp.logical_and(jnp.logical_not(first), ys > 1e-10 * sn2)
 
         S_new = jnp.where(accept, jnp.roll(st.S, -1, axis=0).at[-1].set(s), st.S)
@@ -115,16 +126,19 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
             accept,
             jnp.roll(st.rho, -1).at[-1].set(jnp.where(ys != 0, 1.0 / ys, 0.0)),
             st.rho)
-        yMy = jnp.dot(y, y if apply_H0 is None else apply_H0(y))
+        yMy = dot(y, y if apply_H0 is None else apply_H0(y))
         H_new = jnp.where(accept, ys / yMy, st.H_diag)
 
         # --- direction ------------------------------------------------------
         g0 = st.g if apply_H0 is None else apply_H0(st.g)
         d = jnp.where(first, -g0,
-                      _two_loop(st.g, S_new, Y_new, rho_new, H_new, apply_H0))
+                      _two_loop(st.g, S_new, Y_new, rho_new, H_new, apply_H0,
+                                axis_name=axis_name))
 
         # --- fixed step (lbfgsnew.py:676-681) --------------------------------
         abs_g_sum = jnp.sum(jnp.abs(st.g))
+        if axis_name is not None:
+            abs_g_sum = jax.lax.psum(abs_g_sum, axis_name)
         t = jnp.where(first, jnp.minimum(1.0, 1.0 / abs_g_sum) * lr, lr)
 
         x_new = st.x + t * d
@@ -138,7 +152,7 @@ def lbfgs_iterations(value_and_grad: Callable, state: LBFGSState, num_iters: int
 
 def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
                    max_iter=1000, history=8, f_scale=1.0, skip_iters=5,
-                   apply_H0=None, block=6, stop_fn=None):
+                   apply_H0=None, block=6, stop_fn=None, axis_name=None):
     """Whole density optimization as ONE XLA program.
 
     ``lax.while_loop`` around *blocks* of ``block`` L-BFGS iterations with
@@ -167,7 +181,7 @@ def lbfgs_minimize(value_and_grad, x0, lr=0.1, ntol=1e-7, conv_count=3,
     def body(carry):
         st, f_prev, cnt, it = carry
         st_new = lbfgs_iterations(value_and_grad, st, block, lr,
-                                  apply_H0=apply_H0)
+                                  apply_H0=apply_H0, axis_name=axis_name)
         # freeze converged lanes: under vmap (batched EOS volume scans) the
         # while_loop body keeps running until EVERY lane's cond is false, so
         # a converged lane must stop mutating or its noise bounce could

@@ -368,7 +368,7 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
 def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                          M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
                          max_iter=1000, skip_iters=2, f_scale=27.211386245988,
-                         axis_name="grid"):
+                         axis_name="grid", method="TPGD"):
     """Whole distributed density optimization as ONE SPMD program.
 
     The full production solver — exact-preconditioned TPGD with the dE
@@ -400,14 +400,28 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
             X = prfftn(q.reshape(local_shape), axis_name)
             return pirfftn(M_slab * X, shape, axis_name).reshape(q.shape)
 
+        if method == "LBFGS":
+            return solvers.lbfgs_minimize(vg, chi_local, lr=lr, ntol=ntol,
+                                          conv_count=conv_count,
+                                          max_iter=max_iter, f_scale=f_scale,
+                                          apply_H0=aH0, block=1,
+                                          skip_iters=skip_iters,
+                                          axis_name=axis_name)
         return solvers.tpgd_minimize(vg, chi_local, lr=lr, ntol=ntol,
                                      conv_count=conv_count,
                                      max_iter=max_iter, f_scale=f_scale,
                                      apply_H0=aH0, skip_iters=skip_iters,
                                      axis_name=axis_name)
 
-    st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat, x_prev=flat,
-                                 g_prev=flat, Mg_prev=flat, n_iter=P_())
+    if method == "LBFGS":
+        # ring buffers hold flat LOCAL vectors: shard their last axis
+        st_specs = solvers.LBFGSState(
+            x=flat, f=P_(), g=flat, g_prev=flat,
+            S=P_(None, axis_name), Y=P_(None, axis_name), rho=P_(),
+            H_diag=P_(), t_prev=P_(), d_prev=flat, n_iter=P_())
+    else:
+        st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat, x_prev=flat,
+                                     g_prev=flat, Mg_prev=flat, n_iter=P_())
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(flat, P_(), P_(axis_name, None, None),

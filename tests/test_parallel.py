@@ -369,3 +369,39 @@ def test_pencil_whole_optimization_matches_single_device():
     assert txt.count("all-to-all") > 0
     assert txt.count("all-reduce") > 0
     assert "all-gather(" not in txt, "distributed solve must not gather"
+
+
+def test_pencil_lbfgs_matches_single_device():
+    """The distributed L-BFGS (psum'd two-loop recursion) — the f64 tier's
+    preferred solver — through the pencil pipeline."""
+    from professad_tpu.system import System
+    from professad_tpu.models import (IonIon, IonElectron, Hartree,
+                                      PerdewBurkeErnzerhof)
+    from professad_tpu.parallel.pfft import pencil_tpgd_minimize
+    from paths import pot
+
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    shape = (16, 16, 16)
+    s_ref = System(box_vecs, shape, ions, terms, units="a",
+                   coord_type="fractional")
+    s_ref.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                           n_step_size=1.0, analytic=True)
+    E_ref = s_ref.energy("eV")
+
+    mesh = _mesh8()
+    s_d = System(box_vecs, shape, ions, terms, units="a",
+                 coord_type="fractional")
+    chi0 = jnp.sqrt(s_d.density()).reshape(-1)
+    M = jax.jit(s_d._exact_precond_kernel)(s_d._box_vecs,
+                                           float(s_d._N_elec))
+    st, it, conv = pencil_tpgd_minimize(
+        mesh, shape, s_d._box_vecs, s_d._v_ext, float(s_d._N_elec), chi0,
+        M, lr=1.0, ntol=1e-9, max_iter=500, method="LBFGS")
+    assert bool(conv)
+    s_d._set_den_from_chi(jnp.asarray(st.x))
+    s_d._ene = s_d._compute_energy(use_ion_cache=s_d._Eion_cache is not None)
+    assert abs(s_d.energy("eV") - E_ref) < 1e-9
