@@ -185,21 +185,29 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
         log(f"[bench] cost-model: {bytes_iter / 1e6:.0f} MB/iter -> "
             f"{t_model * 1e3:.2f} ms; measured {t_iter * 1e3:.2f} ms/iter "
             f"= {pct:.0f}% (>100% = beats the per-op byte count)")
+    pct_fft3 = None
     if bw and fft_bytes:
-        # FFT-stream speed of light: every transform's operands touched
-        # exactly once at peak HBM bandwidth — the idealized floor the
-        # BASELINE "FFT-bound steps" target refers to
+        # Two FFT bounds: (a) single-touch "speed of light" (operands
+        # touched exactly once — unattainable by any multi-pass FFT, kept
+        # for historical comparability); (b) the DEFENSIBLE multi-pass
+        # bound: 3 streaming passes per 3-D transform, which the backend
+        # FFT itself achieves in-program (measured 0.064 ms/transform at
+        # 128^3 vs the 0.062 ms 3-pass bound; docs/design.md "Roofline
+        # accounting").  The remaining gap to (b) is non-FFT elementwise
+        # work, which the XLA byte model above accounts for.
         t_fft = fft_bytes / (bw * 1e9)
         pct_fft = 100.0 * t_fft / t_iter
-        log(f"[bench] fft-stream floor: {n_fft} transforms, "
-            f"{fft_bytes / 1e6:.0f} MB -> {t_fft * 1e3:.2f} ms; measured "
-            f"{t_iter * 1e3:.2f} ms/iter = running at {pct_fft:.0f}% of "
-            f"speed-of-light")
+        t_fft3 = 3.0 * t_fft
+        pct_fft3 = 100.0 * t_fft3 / t_iter
+        log(f"[bench] fft bounds: {n_fft} transforms, {fft_bytes / 1e6:.0f}"
+            f" MB; single-touch {t_fft * 1e3:.2f} ms ({pct_fft:.0f}%), "
+            f"3-pass {t_fft3 * 1e3:.2f} ms ({pct_fft3:.0f}%) of measured "
+            f"{t_iter * 1e3:.2f} ms/iter")
     if not bw:
         log(f"[bench] roofline: bytes/iter={bytes_iter / 1e6:.1f} MB, "
             f"measured {t_iter * 1e3:.2f} ms/iter "
             f"(no peak-BW entry for '{getattr(dev, 'device_kind', '?')}')")
-    return t_iter, bytes_iter, pct, pct_fft, n_fft
+    return t_iter, bytes_iter, pct, pct_fft, pct_fft3, n_fft
 
 
 def run_config(n, trials, measure_roofline_too=True):
@@ -289,7 +297,7 @@ def run_config(n, trials, measure_roofline_too=True):
     extra = {"iters": iters, "converged": bool(conv)}
     if measure_roofline_too:
         # ---- roofline of the steady-state iteration -----------------------
-        t_iter, bytes_iter, pct, pct_fft, n_fft = measure_roofline(
+        t_iter, bytes_iter, pct, pct_fft, pct_fft3, n_fft = measure_roofline(
             system, chi0, box_vecs, v_ext, N_elec)
         extra.update({
             "ms_per_iter": round(t_iter * 1e3, 3),
@@ -297,6 +305,8 @@ def run_config(n, trials, measure_roofline_too=True):
             "fft_ops_per_iter": n_fft,
             "pct_of_xla_cost_model": round(pct, 1) if pct else None,
             "pct_of_fft_stream_floor": round(pct_fft, 1) if pct_fft else None,
+            "pct_of_multipass_fft_bound": (round(pct_fft3, 1)
+                                           if pct_fft3 else None),
         })
     else:
         extra["ms_per_iter"] = round(t_best / max(iters, 1) * 1e3, 3)
