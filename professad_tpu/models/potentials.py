@@ -417,8 +417,35 @@ _DISPATCH = {
                                           _vp_chachiyo_correlation]),
 }
 
-# trainable classes dispatched by instance: params read from the bound term
-_INSTANCE_NAMES = {"PauliGaussian"}
+def _vp_mgp(ctx, owner):
+    """MiGenovaPavanello: fixed (density-independent given detached n0)
+    k-space kernel, so the nonlocal potential is the symmetric-kernel
+    closed form (5/3) n^{-1/6} conv(K, n^{5/6})."""
+    den = ctx.den
+    _, _, _, k2 = ctx.kvecs
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+    k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
+    if owner.kernel is None:
+        raise RuntimeError("MGP: call prepare() before the analytic path.")
+    K = owner._kernel_ft(owner.params, ctx.box_vecs, den.dtype, ctx.shape,
+                         k2, k_F)
+    g = powr(den, 5.0 / 6.0)
+    conv = irfftn(K * rfftn(g), ctx.shape)
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    E = E_vw + E_tf + qmean(g * conv) * ctx.vol
+    pot = (pot_vw + pot_tf
+           + (5.0 / 3.0) * powr(den, -1.0 / 6.0) * conv)
+    return E, pot
+
+
+# trainable classes dispatched by instance: params/kernels read from the
+# bound term
+_INSTANCE_DISPATCH = {
+    "PauliGaussian": lambda ctx, owner: _vp_pauli_gaussian(ctx, owner.params),
+    "MiGenovaPavanello": _vp_mgp,
+}
 
 
 def _sum_vp(ctx, fns):
@@ -436,7 +463,10 @@ def supported_terms(terms):
     from ..system import _term_name
     for t in terms:
         nm = _term_name(t)
-        if nm == "IonIon" or nm in _INSTANCE_NAMES:
+        if nm == "IonIon":
+            continue
+        owner = getattr(t, "__self__", t)
+        if type(owner).__name__ in _INSTANCE_DISPATCH:
             continue
         if nm not in _DISPATCH:
             return False
@@ -458,9 +488,10 @@ def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None):
         nm = _term_name(t)
         if nm == "IonIon":
             continue
-        if nm in _INSTANCE_NAMES:
-            owner = getattr(t, "__self__", t)
-            e, p = _vp_pauli_gaussian(ctx, owner.params)
+        owner = getattr(t, "__self__", t)
+        cls = type(owner).__name__
+        if cls in _INSTANCE_DISPATCH:
+            e, p = _INSTANCE_DISPATCH[cls](ctx, owner)
         else:
             e, p = _DISPATCH[nm](ctx)
         E = E + e

@@ -143,3 +143,25 @@ def test_analytic_rejects_unsupported_terms():
                coord_type="fractional")
     with pytest.raises(ValueError, match="analytic"):
         s.optimize_density(jit_loop=True, analytic=True, n_maxiter=2)
+
+
+def test_mgp_instance_matches_autodiff():
+    """MiGenovaPavanello analytic potential (fixed k-space kernel given the
+    detached mean density) vs jax.grad, dispatched by instance or bound
+    method."""
+    from professad_tpu.models import MiGenovaPavanello
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+    mgp = MiGenovaPavanello((0.2, 0.45))
+    mgp.prepare(box, den)
+
+    for term in (mgp, mgp.forward):
+        E, pot = value_and_potential([term], box, den, vext)
+        E_ref = float(mgp.forward(box, den))
+        g = jax.grad(lambda d: mgp.forward(box, d))(den)
+        pot_ref = np.asarray(g) / quad_w
+        assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12
+        scale = np.max(np.abs(pot_ref))
+        assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10
