@@ -240,6 +240,13 @@ def run_config(n, trials, measure_roofline_too=True):
     v_ext = jax.device_put(jnp.asarray(v_ext_np, dtype), dev)
     chi0 = jax.device_put(jnp.asarray(np.sqrt(den_np).reshape(-1), dtype), dev)
 
+    if backend != "cpu" and os.environ.get("BENCH_CONV", "native") == "pallas":
+        # fused Pallas convolution kernels at the dedicated-conv sites
+        # (WT kernel, vW Laplacian, preconditioner applications)
+        from professad_tpu.ops import grid as _grid
+        _grid.set_conv_mode("pallas")
+        log("[bench] conv mode: pallas (fused MXU spectral convolutions)")
+
     if backend != "cpu" and os.environ.get("BENCH_FFT", "native") == "matmul":
         # MXU matmul DFT: 16% faster per iteration and better forward
         # accuracy on v5e (5.3 vs 6.3 ms/iter; 3.2e-7 vs 7.5e-7 rel err per

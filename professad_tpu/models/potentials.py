@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, qmean, powr, log_hp, safe_sqrt,
-                        rfftn, irfftn, imul)
+                        rfftn, irfftn, imul, spectral_convolution)
 from .kinetic_local import TF_COEFF
 from .kinetic_nonlocal import G_inv_lind
 
@@ -89,7 +89,7 @@ class SpectralCtx:
     def lap_sqrt_den(self):
         def mk():
             _, _, _, k2 = self.kvecs
-            return irfftn(-k2 * rfftn(self.sqrt_den), self.shape)
+            return spectral_convolution(-k2, self.sqrt_den, self.shape)
         return self._get("lap_sqrt_den", mk)
 
     def divergence(self, fx, fy, fz):
@@ -146,7 +146,7 @@ def _vp_nlkef(ctx, alpha, beta):
             * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
     d_a = powr(ctx.den, alpha) - n0 ** alpha
     if alpha == beta:
-        conv_b = irfftn(kern * rfftn(d_a), ctx.shape)
+        conv_b = spectral_convolution(kern, d_a, ctx.shape)
         conv_a = conv_b
         d_b = d_a
     else:
@@ -431,7 +431,7 @@ def _vp_mgp(ctx, owner):
     K = owner._kernel_ft(owner.params, ctx.box_vecs, den.dtype, ctx.shape,
                          k2, k_F)
     g = powr(den, 5.0 / 6.0)
-    conv = irfftn(K * rfftn(g), ctx.shape)
+    conv = spectral_convolution(K, g, ctx.shape)
     E_vw, pot_vw = _vp_weizsaecker(ctx)
     E_tf, pot_tf = _vp_thomas_fermi(ctx)
     E = E_vw + E_tf + qmean(g * conv) * ctx.vol

@@ -472,6 +472,32 @@ def get_fft_mode():
     return _FFT_MODE
 
 
+_CONV_MODE = "native"
+
+
+def set_conv_mode(mode):
+    """Select the implementation of dedicated spectral convolutions
+    (``spectral_convolution``): "native" composes rfftn/irfftn; "pallas"
+    uses the fused 3-kernel MXU implementation (ops/pallas_fft) for f32
+    3-D fields — TPU fast tier only.  Trace-time switch."""
+    global _CONV_MODE
+    if mode not in ("native", "pallas"):
+        raise ValueError('conv mode must be "native" or "pallas"')
+    _CONV_MODE = mode
+
+
+def spectral_convolution(kern, field, shape):
+    """irfftn(kern * rfftn(field)) for a REAL half-spectrum kernel — the
+    package's dedicated-convolution primitive (WT/MGP kernels, Laplacians,
+    preconditioner applications).  Sites whose forward transform is shared
+    with other consumers should keep composing rfftn/irfftn instead."""
+    if (_CONV_MODE == "pallas" and field.ndim == 3
+            and field.dtype == jnp.float32):
+        from .pallas_fft import spectral_conv
+        return spectral_conv(field, kern)
+    return irfftn(kern * rfftn(field), shape)
+
+
 def rfftn(x):
     """3-D real FFT through the selected implementation (see set_fft_mode)."""
     if _FFT_MODE == "matmul" and x.ndim == 3:

@@ -456,10 +456,13 @@ class System:
 
     def _apply_spectral(self, M):
         shape = self._shape
+        from .ops.grid import spectral_convolution
 
         def apply_H0(q):
-            Q = rfftn(q.reshape(shape))
-            return irfftn(M * Q, shape).reshape(q.shape)
+            # dedicated convolution: routed through the fused Pallas conv
+            # when grid.set_conv_mode("pallas") is active
+            return spectral_convolution(M, q.reshape(shape),
+                                        shape).reshape(q.shape)
 
         return apply_H0
 
