@@ -440,11 +440,155 @@ def _vp_mgp(ctx, owner):
     return E, pot
 
 
+# ---------------- Huang-Carter family: analytic ladder potential ------------
+
+def _tangent_matrix(xi_sparse):
+    """Catmull-Rom tangent operator T (m = T f) for the static ladder —
+    (n_xi, n_xi) host numpy, mirroring ops.interp._tangents exactly."""
+    lad = np.asarray(xi_sparse, dtype=np.float64)
+    n = lad.size
+    d = np.diff(lad)
+    T = np.zeros((n, n))
+    T[0, 0], T[0, 1] = -1.0 / d[0], 1.0 / d[0]
+    for k in range(1, n - 1):
+        T[k, k - 1] += -0.5 / d[k - 1]
+        T[k, k] += 0.5 / d[k - 1] - 0.5 / d[k]
+        T[k, k + 1] += 0.5 / d[k]
+    T[n - 1, n - 2], T[n - 1, n - 1] = -1.0 / d[n - 2], 1.0 / d[n - 2]
+    return T
+
+
+def _ladder_weights(xi_sparse, xis, dtype):
+    """Dense per-point ladder weights w and their xi-derivative dw such that
+    K(r) = sum_j w_j(r) f_j(r) reproduces ops.interp.interpolate_kernel
+    EXACTLY (incl. the Catmull-Rom tangents), and dK/dxi = sum_j dw_j f_j.
+    Shapes: (..., n_xi)."""
+    from ..ops.interp import _bracket
+
+    lad = jnp.asarray(xi_sparse, dtype)
+    T = jnp.asarray(_tangent_matrix(xi_sparse), dtype)
+    idx = _bracket(np.asarray(xi_sparse), xis)
+    x0 = lad[idx]
+    dx = lad[idx + 1] - x0
+    t = (xis - x0) / dx
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 1.0 - 3.0 * t2 + 2.0 * t3
+    h10 = t - 2.0 * t2 + t3
+    h01 = 3.0 * t2 - 2.0 * t3
+    h11 = t3 - t2
+    h00_t = -6.0 * t + 6.0 * t2
+    h10_t = 1.0 - 4.0 * t + 3.0 * t2
+    h01_t = 6.0 * t - 6.0 * t2
+    h11_t = 3.0 * t2 - 2.0 * t
+
+    jj = jnp.arange(lad.size)
+    e = idx[..., None]
+    on0 = (jj == e).astype(dtype)
+    on1 = (jj == e + 1).astype(dtype)
+    T0 = jnp.take(T, idx, axis=0)       # (..., n_xi) rows T[idx]
+    T1 = jnp.take(T, idx + 1, axis=0)
+    w = (h00[..., None] * on0 + h01[..., None] * on1
+         + dx[..., None] * (h10[..., None] * T0 + h11[..., None] * T1))
+    dw = ((h00_t[..., None] * on0 + h01_t[..., None] * on1) / dx[..., None]
+          + h10_t[..., None] * T0 + h11_t[..., None] * T1)
+    return w, dw
+
+
+def _vp_hc_family(ctx, owner, aux=None):
+    """HuangCarter / RevisedHuangCarter fused analytic potential.
+
+    The functional derivative of T_NL = C int n^{8/3-b} K[n](r) / xi(r)^3
+    has three pieces: (a) the direct density factors; (b) the adjoint of
+    the field-dependent convolution — ANOTHER ladder of convolutions with
+    the Hermite weights on the output side, batched into one 4-D forward
+    FFT + one inverse; (c) the xi(r) chain (dK/dxi from the weight
+    derivatives + the -3/xi^4 factor), split into its local-density part
+    and a divergence term for the |grad n|^2 dependence.  Validated against
+    jax.grad at rtol 1e-10 (tests/test_potentials.py).
+
+    Requires ``owner.prepare(box, den)`` with a concrete cell (the aux
+    kernel-slab stack), like the jitted optimizer paths.
+    """
+    if aux is None:
+        aux = owner.aux_arrays()
+    if aux is None:
+        raise RuntimeError(
+            "HC analytic path: call prepare(box_vecs, den) with a concrete "
+            "cell first (the kernel-slab aux is required).")
+    den = ctx.den
+    dt = den.dtype
+    lad = aux["ladder"].astype(dt)
+    W = aux["slabs"].astype(dt)          # (m1, m2, m3, n_xi)
+    beta = float(owner.params["beta"])
+    C_HC = TF_COEFF * 8.0 * (3.0 * np.pi**2)
+
+    gdg = ctx.gdg
+    k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
+
+    if type(owner).__name__ == "HuangCarter":
+        lamb = owner.params["lamb"].astype(dt)
+        u = gdg / (powr(den, 8.0 / 3.0) + 1e-30)
+        xis = 2.0 * k_F * (1.0 + lamb * u)
+        dxi_dn = (xis / (3.0 * den)
+                  - 2.0 * k_F * lamb * (8.0 / 3.0) * u / den)
+        dxi_dgdg = 2.0 * k_F * lamb / (powr(den, 8.0 / 3.0) + 1e-30)
+    else:  # RevisedHuangCarter
+        a = owner.params["a"].astype(dt)
+        b = owner.params["b"].astype(dt)
+        c2 = 0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+        s2 = c2 * gdg * powr(den, -8.0 / 3.0)
+        F = 1.0 + a * s2 / (1.0 + b * s2)
+        Fp = a / (1.0 + b * s2) ** 2
+        xis = 2.0 * k_F * F
+        dxi_dn = (2.0 / 3.0) * k_F * F / den \
+            + 2.0 * k_F * Fp * (-8.0 / 3.0) * s2 / den
+        dxi_dgdg = 2.0 * k_F * Fp * c2 * powr(den, -8.0 / 3.0)
+
+    # batched forward convolution: f_j(r) = irfftn(W_j * g^)(r)
+    g = powr(den, beta)
+    conv = jnp.fft.irfftn(W * jnp.fft.rfftn(g)[..., None], s=ctx.shape,
+                          axes=(0, 1, 2))
+
+    w, dw = _ladder_weights(np.asarray(owner.xi_sparse), xis, dt)
+    K = jnp.sum(w * conv, axis=-1)
+    dK_dxi = jnp.sum(dw * conv, axis=-1)
+
+    xi3 = xis * xis * xis
+    A = powr(den, 8.0 / 3.0 - beta)
+    E_nl = C_HC * qmean(A * K / xi3) * ctx.vol
+
+    # (a) direct density factor
+    pot = C_HC * (8.0 / 3.0 - beta) * powr(den, 5.0 / 3.0 - beta) * K / xi3
+
+    # (b) convolution adjoint: J = sum_j conv_j(F_out * w_j), one batched
+    # forward + one inverse (kernels are real and |k|-symmetric)
+    F_out = A / xi3
+    B = (C_HC * F_out)[..., None] * w
+    B_ft = jnp.fft.rfftn(B, axes=(0, 1, 2))
+    J = jnp.fft.irfftn(jnp.sum(W * B_ft, axis=-1), s=ctx.shape)
+    pot = pot + beta * powr(den, beta - 1.0) * J
+
+    # (c) xi chain: G = d/dxi of the integrand
+    G = C_HC * A * (dK_dxi / xi3 - 3.0 * K / (xi3 * xis))
+    pot = pot + G * dxi_dn
+    gx, gy, gz = ctx.grads
+    wdiv = G * dxi_dgdg
+    pot = pot - 2.0 * ctx.divergence(wdiv * gx, wdiv * gy, wdiv * gz)
+
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    return E_vw + E_tf + E_nl, pot_vw + pot_tf + pot
+
+
 # trainable classes dispatched by instance: params/kernels read from the
 # bound term
 _INSTANCE_DISPATCH = {
-    "PauliGaussian": lambda ctx, owner: _vp_pauli_gaussian(ctx, owner.params),
-    "MiGenovaPavanello": _vp_mgp,
+    "PauliGaussian":
+        lambda ctx, owner, aux=None: _vp_pauli_gaussian(ctx, owner.params),
+    "MiGenovaPavanello": lambda ctx, owner, aux=None: _vp_mgp(ctx, owner),
+    "HuangCarter": _vp_hc_family,
+    "RevisedHuangCarter": _vp_hc_family,
 }
 
 
@@ -473,25 +617,28 @@ def supported_terms(terms):
     return True
 
 
-def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None):
+def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None, aux=None):
     """Total (E, dE/dn) over the term list in ONE fused forward sweep.
 
     dE/dn is the per-point functional derivative in atomic units (NOT
     scaled by the quadrature weight).  Raises KeyError for unsupported
-    terms — gate with :func:`supported_terms`.
+    terms — gate with :func:`supported_terms`.  ``aux``: optional per-term
+    list (System._collect_term_aux) threading kernel-slab hoists through
+    jit as arguments instead of trace-time constants.
     """
     from ..system import _term_name
     ctx = SpectralCtx(box_vecs, den, v_ext, N_elec=N_elec)
     E = jnp.zeros((), dtype=jnp.result_type(den.dtype, jnp.float64))
     pot = jnp.zeros(ctx.shape, dtype=den.dtype)
-    for t in terms:
+    for i, t in enumerate(terms):
         nm = _term_name(t)
         if nm == "IonIon":
             continue
         owner = getattr(t, "__self__", t)
         cls = type(owner).__name__
         if cls in _INSTANCE_DISPATCH:
-            e, p = _INSTANCE_DISPATCH[cls](ctx, owner)
+            e, p = _INSTANCE_DISPATCH[cls](
+                ctx, owner, aux=None if aux is None else aux[i])
         else:
             e, p = _DISPATCH[nm](ctx)
         E = E + e

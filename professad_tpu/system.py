@@ -350,7 +350,8 @@ class System:
             den = (den + c) * (N_elec / (N_elec + c * vol))
         return self._density_terms_energy(box_vecs, den, v_ext, aux=aux)
 
-    def _chi_value_and_grad_analytic(self, chi_flat, box_vecs, v_ext, N_elec):
+    def _chi_value_and_grad_analytic(self, chi_flat, box_vecs, v_ext, N_elec,
+                                     aux=None):
         """(E, dE/dchi) via the fused analytic potentials
         (models/potentials.py) — the hand-derived functional derivatives
         evaluated in one forward sweep with shared spectra: no reverse-mode
@@ -373,7 +374,7 @@ class System:
             s = 1.0
             den = den_pre
         E, pot = value_and_potential(self._terms, box_vecs, den, v_ext,
-                                     N_elec=N_elec)
+                                     N_elec=N_elec, aux=aux)
         quad_w = vol / den.size
         # chain through the chi-parameterization (+ f32 floor scale s):
         # dE/dchi_j = s (N/N~) 2 chi_j w (pot_j - mu),
@@ -499,7 +500,7 @@ class System:
                        block=6, skip_iters=5, aux=None, analytic=False):
             if analytic:
                 vg = lambda x: self._chi_value_and_grad_analytic(
-                    x, box_vecs, v_ext, N_elec)
+                    x, box_vecs, v_ext, N_elec, aux=aux)
             else:
                 vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             aH0 = (self._exact_precond(box_vecs, N_elec, aux=aux)
@@ -523,7 +524,7 @@ class System:
                       skip_iters=5, aux=None, analytic=False):
             if analytic:
                 vg = lambda x: self._chi_value_and_grad_analytic(
-                    x, box_vecs, v_ext, N_elec)
+                    x, box_vecs, v_ext, N_elec, aux=aux)
             else:
                 vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
             aH0 = (self._exact_precond(box_vecs, N_elec, aux=aux)

@@ -165,3 +165,54 @@ def test_mgp_instance_matches_autodiff():
         assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12
         scale = np.max(np.abs(pot_ref))
         assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10
+
+
+def test_hc_family_matches_autodiff():
+    """HuangCarter/RevisedHuangCarter fused analytic potential — the
+    ladder-weight transpose convolution and the full xi(n, grad n) chain —
+    vs jax.grad at machine precision."""
+    from professad_tpu.models import HuangCarter, RevisedHuangCarter
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    for cls, args in ((HuangCarter, (0.45, 0.51, 1.2)),
+                      (RevisedHuangCarter, (0.65, 0.2, 0.55, 1.15))):
+        m = cls(args)
+        m.prepare(box, den)
+        E, pot = value_and_potential([m], box, den, vext)
+        E_ref = float(m.forward(box, den))
+        g = jax.grad(lambda d: m.forward(box, d))(den)
+        pot_ref = np.asarray(g) / quad_w
+        assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12, cls.__name__
+        scale = np.max(np.abs(pot_ref))
+        assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10, \
+            cls.__name__
+
+
+def test_hc_analytic_optimize_density_end_to_end():
+    """optimize_density(analytic=True) with a Huang-Carter term set lands
+    on the autodiff ground state (aux kernel slabs threaded through jit)."""
+    from professad_tpu.models import HuangCarter
+
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+
+    def build():
+        hc = HuangCarter((0.45, 0.51, 1.2))
+        terms = [IonIon, IonElectron, Hartree, hc.forward,
+                 PerdewBurkeErnzerhof]
+        return System(box_vecs, (12, 12, 12), ions, terms, units="a",
+                      coord_type="fractional")
+
+    s1 = build()
+    s1.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                        n_step_size=1.0, n_method="TPGD", skip_iters=2)
+    s2 = build()
+    s2.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                        n_step_size=1.0, n_method="TPGD", skip_iters=2,
+                        analytic=True)
+    assert abs(s1.energy("eV") - s2.energy("eV")) < 1e-7
