@@ -93,7 +93,6 @@ def _dot(a, b):
 
 def _make_kernels(shape, dtype_name, interpret):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n0, n1, n2 = shape
     m2 = n2 // 2 + 1

@@ -17,7 +17,6 @@ Python dispatch per closure evaluation.  An optional cubic-free backtracking
 line search (`armijo=True`) is available for the geometry path.
 """
 
-from functools import partial
 from typing import NamedTuple, Callable
 
 import jax
