@@ -442,32 +442,35 @@ def _vp_mgp(ctx, owner):
 
 # ---------------- Huang-Carter family: analytic ladder potential ------------
 
-def _tangent_matrix(xi_sparse):
-    """Catmull-Rom tangent operator T (m = T f) for the static ladder —
-    (n_xi, n_xi) host numpy, mirroring ops.interp._tangents exactly."""
-    lad = np.asarray(xi_sparse, dtype=np.float64)
-    n = lad.size
-    d = np.diff(lad)
-    T = np.zeros((n, n))
-    T[0, 0], T[0, 1] = -1.0 / d[0], 1.0 / d[0]
-    for k in range(1, n - 1):
-        T[k, k - 1] += -0.5 / d[k - 1]
-        T[k, k] += 0.5 / d[k - 1] - 0.5 / d[k]
-        T[k, k + 1] += 0.5 / d[k]
-    T[n - 1, n - 2], T[n - 1, n - 1] = -1.0 / d[n - 2], 1.0 / d[n - 2]
+def _tangent_matrix(lad):
+    """Catmull-Rom tangent operator T (m = T f) for the ladder —
+    (n_xi, n_xi), mirroring ops.interp._tangents exactly.  Built with
+    traced ops so the AUX ladder (a jit argument) can supply the knot
+    values — weights must come from the SAME ladder as the kernel slabs,
+    or a same-shape jit-cache reuse would silently mix stale knots with
+    fresh slabs (the ADVICE round-2 stale-constant hazard)."""
+    n = lad.shape[0]
+    inv = 1.0 / jnp.diff(lad)
+    T = jnp.zeros((n, n), lad.dtype)
+    T = T.at[0, 0].set(-inv[0]).at[0, 1].set(inv[0])
+    T = T.at[n - 1, n - 2].set(-inv[-1]).at[n - 1, n - 1].set(inv[-1])
+    k = jnp.arange(1, n - 1)
+    T = T.at[k, k - 1].add(-0.5 * inv[k - 1])
+    T = T.at[k, k].add(0.5 * inv[k - 1] - 0.5 * inv[k])
+    T = T.at[k, k + 1].add(0.5 * inv[k])
     return T
 
 
-def _ladder_weights(xi_sparse, xis, dtype):
+def _ladder_weights(lad, xis, dtype):
     """Dense per-point ladder weights w and their xi-derivative dw such that
     K(r) = sum_j w_j(r) f_j(r) reproduces ops.interp.interpolate_kernel
     EXACTLY (incl. the Catmull-Rom tangents), and dK/dxi = sum_j dw_j f_j.
-    Shapes: (..., n_xi)."""
+    ``lad`` may be traced (the aux ladder).  Shapes: (..., n_xi)."""
     from ..ops.interp import _bracket
 
-    lad = jnp.asarray(xi_sparse, dtype)
-    T = jnp.asarray(_tangent_matrix(xi_sparse), dtype)
-    idx = _bracket(np.asarray(xi_sparse), xis)
+    lad = jnp.asarray(lad, dtype)
+    T = _tangent_matrix(lad)
+    idx = _bracket(lad, xis)
     x0 = lad[idx]
     dx = lad[idx + 1] - x0
     t = (xis - x0) / dx
@@ -550,7 +553,7 @@ def _vp_hc_family(ctx, owner, aux=None):
     conv = jnp.fft.irfftn(W * jnp.fft.rfftn(g)[..., None], s=ctx.shape,
                           axes=(0, 1, 2))
 
-    w, dw = _ladder_weights(np.asarray(owner.xi_sparse), xis, dt)
+    w, dw = _ladder_weights(lad, xis, dt)
     K = jnp.sum(w * conv, axis=-1)
     dK_dxi = jnp.sum(dw * conv, axis=-1)
 
