@@ -386,6 +386,13 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
     from jax.sharding import NamedSharding
     from ..ops import solvers
 
+    n_dev = mesh.shape[axis_name]
+    if shape[0] % n_dev or shape[1] % n_dev:
+        raise ValueError(
+            f"pencil decomposition needs grid axes 0 and 1 divisible by the "
+            f"mesh '{axis_name}' size {n_dev}; got shape {tuple(shape)} "
+            f"(pad the grid or choose a compatible mesh).")
+
     P_ = P
     flat = P_(axis_name)
 

@@ -405,3 +405,15 @@ def test_pencil_lbfgs_matches_single_device():
     s_d._set_den_from_chi(jnp.asarray(st.x))
     s_d._ene = s_d._compute_energy(use_ion_cache=s_d._Eion_cache is not None)
     assert abs(s_d.energy("eV") - E_ref) < 1e-9
+
+
+def test_pencil_rejects_indivisible_shapes():
+    from professad_tpu.parallel.pfft import pencil_tpgd_minimize
+    import pytest
+
+    mesh = _mesh8()
+    with pytest.raises(ValueError, match="divisible"):
+        pencil_tpgd_minimize(mesh, (12, 16, 16), jnp.eye(3),
+                             jnp.zeros((12, 16, 16)), 4.0,
+                             jnp.ones(12 * 16 * 16),
+                             jnp.ones((12, 2, 9)))
