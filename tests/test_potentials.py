@@ -130,14 +130,17 @@ def test_optimize_density_analytic_end_to_end():
 
 
 def test_analytic_rejects_unsupported_terms():
-    from professad_tpu.models import HuangCarter
+    # YukawaGGA's Pauli factor is an arbitrary user callable — no analytic
+    # form exists (the HC family, by contrast, IS analytic-supported)
+    from professad_tpu.models import YukawaGGA
 
     box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
                                    [0.0, 0.5, 0.5],
                                    [0.5, 0.0, 0.5]])
     ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
-    hc = HuangCarter((0.45, 0.51, 1.2))
-    terms = [IonIon, IonElectron, Hartree, hc.forward, PerdewBurkeErnzerhof]
+    yuk = YukawaGGA((1.0, 1.0, lambda y, s2, q: y, 1.2))
+    terms = [IonIon, IonElectron, Hartree, yuk.forward,
+             PerdewBurkeErnzerhof]
     assert not supported_terms(terms)
     s = System(box_vecs, (8, 8, 8), ions, terms, units="a",
                coord_type="fractional")
