@@ -786,20 +786,12 @@ class MiGenovaPavanello(KineticFunctional):
 
 # -------------------------------- Xu-Wang-Ma --------------------------------
 
-def XuWangMa(box_vecs, den, kappa=0.0):
-    """XWM: line-integral kernel with first-order density-dependence Taylor
-    expansion (parity: functionals.py:1456-1498)."""
-    vol = volume(box_vecs)
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
-    n0 = N_elec / vol
-
-    eta, G_inv = G_inv_lindhard(box_vecs, den)
-    shape = den.shape
-
-    kernel0 = (18.0 / (6.0 * kappa + 5.0) ** 2 * np.pi**2 / (3.0 * np.pi**2) ** (1.0 / 3.0)
+def _xwm_kernels(eta, G_inv, n0, kappa):
+    """The three XWM k-space kernels (density-independent given n0); shared
+    by the energy and the fused analytic potential (models/potentials.py)."""
+    kernel0 = (18.0 / (6.0 * kappa + 5.0) ** 2 * np.pi**2
+               / (3.0 * np.pi**2) ** (1.0 / 3.0)
                * (1.0 / G_inv - 3.0 * eta * eta - 1.0) / n0 ** (2.0 * kappa))
-    conv = irfftn(kernel0 * rfftn(powr(den, kappa + 5.0 / 6.0)), shape)
-    T_NL0 = qmean(powr(den, kappa + 5.0 / 6.0) * conv) * vol
 
     nz = eta != 0.0
     e = jnp.where(nz, eta, 1.0)
@@ -821,6 +813,22 @@ def XuWangMa(box_vecs, den, kappa=0.0):
                * (G_inv_der / G_inv**2 + 6.0 * eta * eta) / n0 ** (2.0 * kappa))
     kernel1a = kernel1 / ((kappa + 5.0 / 6.0) * (kappa + 11.0 / 6.0))
     kernel1b = n0 / (kappa + 5.0 / 6.0) ** 2 * kernel1
+    return kernel0, kernel1a, kernel1b
+
+
+def XuWangMa(box_vecs, den, kappa=0.0):
+    """XWM: line-integral kernel with first-order density-dependence Taylor
+    expansion (parity: functionals.py:1456-1498)."""
+    vol = volume(box_vecs)
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+    n0 = N_elec / vol
+
+    eta, G_inv = G_inv_lindhard(box_vecs, den)
+    shape = den.shape
+    kernel0, kernel1a, kernel1b = _xwm_kernels(eta, G_inv, n0, kappa)
+
+    conv = irfftn(kernel0 * rfftn(powr(den, kappa + 5.0 / 6.0)), shape)
+    T_NL0 = qmean(powr(den, kappa + 5.0 / 6.0) * conv) * vol
 
     conva = irfftn(kernel1a * rfftn(powr(den, kappa + 11.0 / 6.0)), shape)
     T_NL1a = qmean(powr(den, kappa + 5.0 / 6.0) * conva) * vol

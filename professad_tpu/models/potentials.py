@@ -584,6 +584,208 @@ def _vp_hc_family(ctx, owner, aux=None):
     return E_vw + E_tf + E_nl, pot_vw + pot_tf + pot
 
 
+def _vp_wtsf(ctx, owner):
+    """WangTeterStyleFunctional: E = vW + TF f(u), u = T_NL/(f'(0) TF) with
+    both energies scalars — the potential follows from the scalar quotient
+    rule, with f'(u) evaluated exactly by jax.grad on the scalar stabilizer."""
+    alpha = float(owner.params["alpha"])
+    beta = float(owner.params["beta"])
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    E_nl, pot_nl = _vp_nlkef(ctx, alpha, beta)
+    u = (E_nl / owner.fprime0 / E_tf).astype(ctx.den.dtype)
+    fu = owner.f(u)
+    fpu = jax.grad(lambda x: owner.f(x))(u)
+    quad_w = ctx.vol / ctx.den.size
+    # d u/dn = (T_NL' TF - T_NL TF')/(f'(0) TF^2), everything per-point
+    du = (pot_nl * E_tf - E_nl * pot_tf).astype(ctx.den.dtype) \
+        / owner.fprime0 / jnp.asarray(E_tf * E_tf, ctx.den.dtype)
+    E = E_vw + E_tf * fu
+    pot = pot_vw + pot_tf * fu + jnp.asarray(E_tf, ctx.den.dtype) * fpu * du
+    return E, pot
+
+
+def _vp_wgc99(ctx, owner):
+    """WangGovindCarter99: second-order Taylor density-dependent kernel —
+    the potential is the product/adjoint expansion of the six convolution
+    terms (12 symmetric convolutions total, forward transforms shared)."""
+    from .kinetic_nonlocal import _wgc99_kernel
+
+    den = ctx.den
+    dt = den.dtype
+    _, _, _, k2 = ctx.kvecs
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+    params = owner.params
+    n_ref = params["kappa"].astype(dt) * n0
+    k_F = (3.0 * np.pi**2 * n_ref) ** (1.0 / 3.0)
+    eta = safe_sqrt(k2) / (2.0 * k_F)
+    alpha = params["alpha"].astype(dt)
+    beta = params["beta"].astype(dt)
+    gamma = params["gamma"].astype(dt)
+    w0, w1, w2 = _wgc99_kernel(eta, float(alpha), float(beta), float(gamma),
+                               owner.num_terms)
+    T = 20.0 * n_ref ** (5.0 / 3.0 - alpha - beta)
+    w0 = T * w0
+    w1 = T * w1
+    w2 = T * w2
+    K1 = -eta * w1 / (6.0 * n_ref)
+    K2 = (eta * eta * w2 + (7.0 - gamma) * eta * w1) / (36.0 * n_ref**2)
+    K3 = (eta * eta * w2 + (1.0 + gamma) * eta * w1) / (36.0 * n_ref**2)
+
+    theta = den - n_ref
+    nb = powr(den, float(beta))
+    a = powr(den, float(alpha))
+    dnb = beta * powr(den, float(beta) - 1.0)
+    da = alpha * powr(den, float(alpha) - 1.0)
+    cv = lambda kern, field: spectral_convolution(kern, field, ctx.shape)
+
+    C0 = cv(w0, nb)
+    C1 = cv(K1, nb)
+    C1p = cv(K1, nb * theta)
+    C2 = cv(K2, nb)
+    C2p = cv(K2, 0.5 * nb * theta * theta)
+    C3p = cv(K3, nb * theta)
+    conv = (C0 + theta * C1 + C1p + 0.5 * theta * theta * C2 + C2p
+            + theta * C3p)
+    E_nl = TF_COEFF * qmean(a * conv) * ctx.vol
+
+    at = a * theta
+    pot = (da * conv                       # through a = n^alpha
+           + cv(w0, a) * dnb               # term 1 adjoint
+           + a * C1                        # term 2, theta factor
+           + cv(K1, at) * dnb              # term 2 adjoint
+           + cv(K1, a) * (dnb * theta + nb)        # term 3 adjoint
+           + at * C2                       # term 4, theta^2 factor
+           + cv(K2, 0.5 * at * theta) * dnb        # term 4 adjoint
+           + cv(K2, a) * (0.5 * dnb * theta * theta + nb * theta)  # term 5
+           + a * C3p                       # term 6, theta factor
+           + cv(K3, at) * (dnb * theta + nb))      # term 6 adjoint
+    pot = TF_COEFF * pot
+
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    return E_vw + E_tf + E_nl, pot_vw + pot_tf + pot
+
+
+def _vp_xwm(ctx):
+    """XuWangMa with the DEFAULT kappa = 0 (the bare function; wrapped
+    lambdas carrying a different kappa in their closure are rejected by
+    ``supported_terms`` — the closure value cannot be extracted safely)."""
+    from .kinetic_nonlocal import _xwm_kernels
+
+    kappa = 0.0
+    den = ctx.den
+    _, _, _, k2 = ctx.kvecs
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+    # G_inv_lindhard's own (unrounded) detached mean density, exactly as
+    # the energy path computes it
+    N_lind = jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol
+    k_F = (3.0 * np.pi**2 * (N_lind / ctx.vol)) ** (1.0 / 3.0)
+    eta = safe_sqrt(k2) / (2.0 * k_F)
+    G_inv = G_inv_lind(eta)
+    K0, K1a, K1b = _xwm_kernels(eta, G_inv, n0, kappa)
+
+    pa = kappa + 5.0 / 6.0
+    pb = kappa + 11.0 / 6.0
+    g0 = powr(den, pa)
+    g1 = powr(den, pb)
+    dg0 = pa * powr(den, pa - 1.0)
+    dg1 = pb * powr(den, pb - 1.0)
+    cv = lambda kern, field: spectral_convolution(kern, field, ctx.shape)
+
+    c00 = cv(K0, g0)
+    c1a1 = cv(K1a, g1)
+    c1b0 = cv(K1b, g0)
+    E_nl = (qmean(g0 * c00) + qmean(g0 * c1a1) - qmean(g0 * c1b0)) * ctx.vol
+
+    pot = (2.0 * dg0 * c00
+           + dg0 * c1a1 + dg1 * cv(K1a, g0)
+           - 2.0 * dg0 * c1b0)
+
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    return E_vw + E_tf + E_nl, pot_vw + pot_tf + pot
+
+
+def _vp_fm(ctx, owner):
+    """FoleyMadden: quadratic-response cubic term — the potential expands
+    the cubic polynomial in the 11 convolution fields F_i, with ALL the
+    adjoint convolutions combined in k-space (11 forward transforms + ONE
+    inverse), plus the WT-style linear term and the stabilizer chain."""
+    den = ctx.den
+    dt = den.dtype
+    _, _, _, k2 = ctx.kvecs
+    alpha = owner.params["alpha"].astype(dt)
+    beta = owner.params["beta"].astype(dt)
+
+    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+    k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
+    # G_inv_lindhard's own (unrounded) detached n0, as the energy path does
+    n0_lind = jax.lax.stop_gradient(jnp.mean(den))
+    k_F_lind = (3.0 * np.pi**2 * n0_lind) ** (1.0 / 3.0)
+    eta = safe_sqrt(k2) / (2.0 * k_F_lind)
+    G_inv = G_inv_lind(eta)
+    q = 2.0 * eta
+
+    kernel = (TF_COEFF * 5.0 / (9.0 * alpha**2 * n0 ** (2.0 * alpha - 5.0 / 3.0))
+              * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
+    d_a = powr(den, float(alpha)) - n0 ** alpha
+    conv = spectral_convolution(kernel, d_a, ctx.shape)
+    NL1 = qmean(d_a * conv) * ctx.vol
+    dNL1 = 2.0 * alpha * powr(den, float(alpha) - 1.0) * conv
+
+    K_delta = (alpha**2 * n0 ** (2.0 * alpha - 1.0) / 18.0 * k_F**2
+               * (6.0 * alpha - 5.0) * kernel)
+    f1, f2, f3, f4, f5, f6, f7 = owner._piecewise_fits(q)
+    nz = q != 0.0
+    f1_over_q2 = jnp.where(nz, f1 / jnp.where(nz, q, 1.0) ** 2, 0.4)
+    kerns = [f1, f1 * q**4, f1_over_q2, f1 * q**2, f2 * f3, f2, f5, f4,
+             f6, f7, K_delta]
+
+    delta_nb = powr(den, float(beta)) - n0 ** beta
+    dnb_ft = rfftn(delta_nb)
+    F = [irfftn(kern * dnb_ft, ctx.shape) for kern in kerns]
+    F1, F2, F3, F4, F5, F6, F7_, F8, F9, F10, F11 = F
+    aux = (-13.0 / 540.0 * F1**3 - F2 * F3**2 / 40.0 + F4 * F3 * F1 / 20.0
+           + 3.0 * F5 * F6**2 + 3.0 * F7_ * F8**2 + 3.0 * F9 * F10**2
+           + 3.0 * F11 * delta_nb**2)
+    c2 = -k_F**2 / beta**3 / n0 ** (3.0 * beta - 1.0)
+    NL2 = c2 * qmean(aux) * ctx.vol
+
+    # d aux / d F_i, then one combined k-space adjoint
+    dF = [-13.0 / 180.0 * F1**2 + F4 * F3 / 20.0,       # F1
+          -F3**2 / 40.0,                                 # F2
+          -F2 * F3 / 20.0 + F4 * F1 / 20.0,              # F3
+          F3 * F1 / 20.0,                                # F4
+          3.0 * F6**2,                                   # F5
+          6.0 * F5 * F6,                                 # F6
+          3.0 * F8**2,                                   # F7
+          6.0 * F7_ * F8,                                # F8
+          3.0 * F10**2,                                  # F9
+          6.0 * F9 * F10,                                # F10
+          3.0 * delta_nb**2]                             # F11
+    acc = kerns[0] * rfftn(dF[0])
+    for kern, g in zip(kerns[1:], dF[1:]):
+        acc = acc + kern * rfftn(g)
+    adj = irfftn(acc, ctx.shape) + 6.0 * F11 * delta_nb
+    dNL2 = c2 * adj * beta * powr(den, float(beta) - 1.0)
+
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    NL = NL1 + NL2
+    u = (NL / E_tf).astype(dt)
+    fu = owner.f(u)
+    fpu = jax.grad(lambda x: owner.f(x))(u)
+    du = ((dNL1 + dNL2) * E_tf - NL * pot_tf).astype(dt) \
+        / jnp.asarray(E_tf * E_tf, dt)
+    E = E_vw + E_tf * fu
+    pot = pot_vw + pot_tf * fu + jnp.asarray(E_tf, dt) * fpu * du
+    return E, pot
+
+
 # trainable classes dispatched by instance: params/kernels read from the
 # bound term
 _INSTANCE_DISPATCH = {
@@ -592,6 +794,11 @@ _INSTANCE_DISPATCH = {
     "MiGenovaPavanello": lambda ctx, owner, aux=None: _vp_mgp(ctx, owner),
     "HuangCarter": _vp_hc_family,
     "RevisedHuangCarter": _vp_hc_family,
+    "WangTeterStyleFunctional":
+        lambda ctx, owner, aux=None: _vp_wtsf(ctx, owner),
+    "WangGovindCarter99":
+        lambda ctx, owner, aux=None: _vp_wgc99(ctx, owner),
+    "FoleyMadden": lambda ctx, owner, aux=None: _vp_fm(ctx, owner),
 }
 
 
@@ -606,11 +813,18 @@ def _sum_vp(ctx, fns):
 
 
 def supported_terms(terms):
-    """True iff every density-dependent term has a fused analytic form."""
+    """True iff every density-dependent term has a fused analytic form.
+
+    Note: ``XuWangMa`` is supported only as the bare function (kappa = 0);
+    a closure-wrapped variant carries a kappa the dispatcher cannot read.
+    """
     from ..system import _term_name
+    from .kinetic_nonlocal import XuWangMa
     for t in terms:
         nm = _term_name(t)
         if nm == "IonIon":
+            continue
+        if t is XuWangMa:
             continue
         owner = getattr(t, "__self__", t)
         if type(owner).__name__ in _INSTANCE_DISPATCH:
@@ -633,9 +847,15 @@ def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None, aux=None):
     ctx = SpectralCtx(box_vecs, den, v_ext, N_elec=N_elec)
     E = jnp.zeros((), dtype=jnp.result_type(den.dtype, jnp.float64))
     pot = jnp.zeros(ctx.shape, dtype=den.dtype)
+    from .kinetic_nonlocal import XuWangMa
     for i, t in enumerate(terms):
         nm = _term_name(t)
         if nm == "IonIon":
+            continue
+        if t is XuWangMa:
+            e, p = _vp_xwm(ctx)
+            E = E + e
+            pot = pot + p
             continue
         owner = getattr(t, "__self__", t)
         cls = type(owner).__name__

@@ -219,3 +219,45 @@ def test_hc_analytic_optimize_density_end_to_end():
                         n_step_size=1.0, n_method="TPGD", skip_iters=2,
                         analytic=True)
     assert abs(s1.energy("eV") - s2.energy("eV")) < 1e-7
+
+
+def test_remaining_nonlocal_family_matches_autodiff():
+    """WTSF (stabilizer chain), WGC99 (12-convolution Taylor-kernel
+    adjoint), XWM (bare function, kappa=0) and FoleyMadden (cubic
+    quadratic-response adjoint) — the full built-in family now has fused
+    analytic potentials, each at machine precision vs jax.grad."""
+    from professad_tpu.models import (WangTeterStyleFunctional,
+                                      WangGovindCarter99, XuWangMa,
+                                      FoleyMadden)
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    wtsf = WangTeterStyleFunctional(
+        (0.8, 0.9, lambda x: 1.0 + x + 0.3 * jnp.tanh(x)))
+    cases = [("WTSF", wtsf, wtsf.forward),
+             ("WGC99", WangGovindCarter99(),
+              lambda b, d, m=WangGovindCarter99(): m.forward(b, d)),
+             ("XWM", XuWangMa, lambda b, d: XuWangMa(b, d)),
+             ("FM", FoleyMadden(), lambda b, d, m=FoleyMadden(): m.forward(b, d))]
+    for name, term, efun in cases:
+        E, pot = value_and_potential([term], box, den, vext)
+        E_ref = float(efun(box, den))
+        g = jax.grad(lambda d: efun(box, d))(den)
+        pot_ref = np.asarray(g) / quad_w
+        assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12, name
+        scale = np.max(np.abs(pot_ref))
+        assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10, \
+            name
+
+
+def test_wrapped_xwm_rejected():
+    """A closure-wrapped XuWangMa carries a kappa the dispatcher cannot
+    read — it must be unsupported rather than silently wrong."""
+    from professad_tpu.models import XuWangMa
+
+    wrapped = lambda bv, d: XuWangMa(bv, d, 0.01)
+    wrapped.__name__ = "XuWangMa"
+    assert not supported_terms([wrapped])
+    assert supported_terms([XuWangMa])
