@@ -124,9 +124,11 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
         return st
 
     f0, g0 = jax.jit(vg)(chi0)
-    Mg0 = jax.jit(lambda g: system._apply_spectral(kernel)(g))(g0.reshape(-1))
-    state0 = solvers.TPGDState(x=chi0, f=f0, g=g0.reshape(-1), x_prev=chi0,
-                               g_prev=g0.reshape(-1), Mg_prev=Mg0,
+    g0 = g0.reshape(chi0.shape)
+    Mg0 = jax.jit(lambda g: system._apply_spectral(kernel)(g))(g0)
+    state0 = solvers.TPGDState(x=chi0, f=f0, g=g0,
+                               g_prev=g0, Mg_prev=Mg0,
+                               s_prev=jnp.zeros_like(chi0),
                                n_iter=jnp.ones((), jnp.int32))
 
     lowered_one = jax.jit(one_iter).lower(state0, kernel)
@@ -238,7 +240,10 @@ def run_config(n, trials, measure_roofline_too=True):
     dev = jax.devices()[0]
     box_vecs = jax.device_put(jnp.asarray(box_np, dtype), dev)
     v_ext = jax.device_put(jnp.asarray(v_ext_np, dtype), dev)
-    chi0 = jax.device_put(jnp.asarray(np.sqrt(den_np).reshape(-1), dtype), dev)
+    # 3-D shaped chi (not flat): a naturally shaped loop carry keeps the
+    # TPU FFT's internal stage reshape benignly laid out — flat carries
+    # trigger a 32x-padded 16 GB scratch buffer at 512^3 (ops/solvers.py)
+    chi0 = jax.device_put(jnp.asarray(np.sqrt(den_np), dtype), dev)
 
     if backend != "cpu" and os.environ.get("BENCH_CONV", "native") == "pallas":
         # fused Pallas convolution kernels at the dedicated-conv sites
@@ -269,10 +274,15 @@ def run_config(n, trials, measure_roofline_too=True):
         # whole optimization as one XLA program: exact-spectral-
         # preconditioned TPGD (near-Newton steps, no L-BFGS memory for f32
         # noise to poison — see ops/solvers.py tpgd_minimize), convergence
-        # checked every iteration after 2
+        # checked every iteration after 2.  The preconditioner kernel is
+        # built in its own transient program (its HVP holds ~20 grid-sized
+        # temporaries at peak — hoisting it is what fits 512^3 on one v5e)
+        # and passed as data; its cost stays inside the timed region.
+        Mk = system._precond_kernel(box_vecs, N_elec)
         return system._jit_tpgd_full(chi0, box_vecs, v_ext, N_elec, 1.0,
-                                     ntol, 3, 1000, precondition=True,
-                                     skip_iters=2, analytic=analytic)
+                                     ntol, 3, 1000,
+                                     skip_iters=2, analytic=analytic,
+                                     M_kernel=Mk)
 
     # ---- compile + warm (untimed) ----------------------------------------
     t0 = time.perf_counter()

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid import (wavevecs, volume, safe_sqrt, grad_dot_grad, qmean,
-                        reduced_gradient_squared, powr, log_hp, rfftn, irfftn)
+                        wmean, reduced_gradient_squared, powr, log_hp,
+                        rfftn, irfftn)
 from ..ops.interp import interpolate, interpolate_kernel
 from ..ops.fieldconv import field_dependent_convolution, xi_ladder
 from ..utils.constants import EV_PER_HA
@@ -78,7 +79,7 @@ def G_inv_lindhard(box_vecs, den):
     (parity: functionals.py:631-639)."""
     _, _, _, k2 = wavevecs(box_vecs, den.shape)
     vol = volume(box_vecs)
-    N_elec = jax.lax.stop_gradient(jnp.mean(den) * vol)
+    N_elec = jax.lax.stop_gradient(wmean(den) * vol)
     n0 = N_elec / vol
     k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
     eta = safe_sqrt(k2) / (2.0 * k_F)
@@ -92,7 +93,7 @@ def non_local_KEF(box_vecs, den, alpha, beta):
     delta n^beta against the Lindhard-correction kernel
     (parity: functionals.py:644-652)."""
     vol = volume(box_vecs)
-    N_elec = jax.lax.stop_gradient(jnp.mean(den) * vol)
+    N_elec = jax.lax.stop_gradient(wmean(den) * vol)
     n0 = N_elec / vol
     eta, G_inv = G_inv_lindhard(box_vecs, den)
     kernel = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))

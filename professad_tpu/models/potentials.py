@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid import (wavevecs, volume, qmean, powr, log_hp, safe_sqrt,
+from ..ops.grid import (wavevecs, volume, qmean, wmean, powr, log_hp, safe_sqrt,
                         rfftn, irfftn, imul, spectral_convolution)
 from .kinetic_local import TF_COEFF
 from .kinetic_nonlocal import G_inv_lind
@@ -46,7 +46,7 @@ class SpectralCtx:
         self.shape = den.shape
         self.vol = volume(box_vecs)
         if N_elec is None:
-            N_elec = jax.lax.stop_gradient(jnp.mean(den)) * self.vol
+            N_elec = jax.lax.stop_gradient(wmean(den)) * self.vol
         self.n0 = N_elec / self.vol  # differentiable through vol
         self._c = {}
 
@@ -681,7 +681,7 @@ def _vp_xwm(ctx):
     n0 = N_elec / ctx.vol
     # G_inv_lindhard's own (unrounded) detached mean density, exactly as
     # the energy path computes it
-    N_lind = jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol
+    N_lind = jax.lax.stop_gradient(wmean(den)) * ctx.vol
     k_F = (3.0 * np.pi**2 * (N_lind / ctx.vol)) ** (1.0 / 3.0)
     eta = safe_sqrt(k2) / (2.0 * k_F)
     G_inv = G_inv_lind(eta)
@@ -724,7 +724,7 @@ def _vp_fm(ctx, owner):
     n0 = N_elec / ctx.vol
     k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
     # G_inv_lindhard's own (unrounded) detached n0, as the energy path does
-    n0_lind = jax.lax.stop_gradient(jnp.mean(den))
+    n0_lind = jax.lax.stop_gradient(wmean(den))
     k_F_lind = (3.0 * np.pi**2 * n0_lind) ** (1.0 / 3.0)
     eta = safe_sqrt(k2) / (2.0 * k_F_lind)
     G_inv = G_inv_lind(eta)

@@ -188,6 +188,48 @@ def qmean(x):
     return _qmean32(x)
 
 
+@jax.custom_jvp
+def _wmean32(x):
+    n = x.size
+    cols = 512
+    pad = (-n) % cols
+    xf = x.reshape(-1)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad,), x.dtype)])
+    partial = jnp.sum(xf.reshape(-1, cols), axis=0)
+    return (jnp.sum(partial.astype(jnp.float64)) / n).astype(jnp.float32)
+
+
+@_wmean32.defjvp
+def _wmean32_jvp(primals, tangents):
+    # linear + transposable: a plain f32 mean (same rule as _qmean32)
+    x, = primals
+    t, = tangents
+    return _wmean32(x), jnp.mean(t)
+
+
+def wmean(x):
+    """Working-dtype accurate mean for means that FEED array arithmetic
+    (N_tilde normalization, chemical potential mu) rather than terminal
+    energies (those take :func:`qmean`, which returns f64).
+
+    In f32 the plain reduction's error is summation-ORDER dependent: XLA
+    compiles ``mean(reshape(flat))`` and ``mean(native-3D)`` to different
+    reduction strategies, measured at +6e-8 vs -4e-7 relative on the same
+    48^3 density-like field (XLA:CPU; the 3-D strategy row-sums one axis
+    naively).  A 3e-6-relative N_tilde error rescales the whole density
+    and shifts the total energy by mu*N*rho ~ 1e-5 Ha — dominating every
+    other f32 error source.  This computes the same column-sum +
+    f64-combine as ``qmean`` (~1-ulp) but casts back to f32 so the graph
+    never upcasts.  f64 inputs take a plain mean (bit-identical
+    correctness tier); the tangent rule is linear, so HVPs and
+    second-order autodiff compose.
+    """
+    if x.dtype != jnp.float32:
+        return jnp.mean(x)
+    return _wmean32(x)
+
+
 def safe_sqrt(x):
     """NaN-free-gradient sqrt: 0 where x <= 0 (double-where idiom)."""
     pos = x > 0
@@ -499,24 +541,51 @@ def spectral_convolution(kern, field, shape):
 
 
 def rfftn(x):
-    """3-D real FFT through the selected implementation (see set_fft_mode)."""
+    """3-D real FFT through the selected implementation (see set_fft_mode).
+
+    f32 3-D transforms are DC-SPLIT: the mean is subtracted before the
+    backend transform and the k=0 coefficient is set from it exactly.
+    Measured necessity (TPU v5e): the backend f32 FFT leaks ~6e-8 of the
+    DC amplitude into the lowest +/-1 modes (f32 ulp of the DC-dominated
+    stage partials).  A plane-wave density is ~97% DC, so at 256^3 the
+    leak injects ~1.4e-2 (unnormalized) into k_min modes of every
+    transform; amplified by the 4pi/k^2 Hartree kernel this becomes a
+    systematic low-k bias in the fused analytic potential large enough
+    that density optimization stalls 1.6 mHa (43 meV) above the true
+    minimum — and the leak pattern varies between compiled programs,
+    making results run-to-run nondeterministic.  Transforming the
+    fluctuation field scales the leak by the fluctuation/DC ratio
+    (~30-100x smaller); the exactly-uniform fields used by the
+    preconditioner HVP become exact.  f64-class modes (CPU tier, pair
+    tier) resolve the leak natively and skip the split."""
     if _FFT_MODE == "matmul" and x.ndim == 3:
         from . import tpufft
         return tpufft.rfftn_hp(x)
     if _FFT_MODE == "pair" and x.ndim == 3:
         from . import tpufft
         return Spectrum(*tpufft.rfftn_pair(x))
+    if x.dtype == jnp.float32 and x.ndim == 3:
+        xm = jnp.mean(x)
+        h = jnp.fft.rfftn(x - xm)
+        return h.at[0, 0, 0].add(xm * x.size)
     return jnp.fft.rfftn(x)
 
 
 def irfftn(X, shape):
-    """Inverse of :func:`rfftn` (1/N-normalized, real output)."""
+    """Inverse of :func:`rfftn` (1/N-normalized, real output).  f32 3-D
+    spectra are DC-split like :func:`rfftn` (the k=0 coefficient is
+    carried around the backend transform as an exact uniform shift)."""
     if isinstance(X, Spectrum):
         from . import tpufft
         return tpufft.irfftn_pair(X.re, X.im, shape)
     if _FFT_MODE == "matmul" and X.ndim == 3:
         from . import tpufft
         return tpufft.irfftn_hp(X, shape)
+    if X.dtype == jnp.complex64 and X.ndim == 3:
+        dc = X[0, 0, 0].real
+        y = jnp.fft.irfftn(X.at[0, 0, 0].set(0.0), shape)
+        n_tot = shape[0] * shape[1] * shape[2]
+        return y + dc / n_tot
     return jnp.fft.irfftn(X, shape)
 
 

@@ -413,12 +413,13 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                                           max_iter=max_iter, f_scale=f_scale,
                                           apply_H0=aH0, block=1,
                                           skip_iters=skip_iters,
-                                          axis_name=axis_name)
+                                          axis_name=axis_name,
+                                          freeze_lanes=False)
         return solvers.tpgd_minimize(vg, chi_local, lr=lr, ntol=ntol,
                                      conv_count=conv_count,
                                      max_iter=max_iter, f_scale=f_scale,
                                      apply_H0=aH0, skip_iters=skip_iters,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name, freeze_lanes=False)
 
     if method == "LBFGS":
         # ring buffers hold flat LOCAL vectors: shard their last axis
@@ -427,8 +428,9 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
             S=P_(None, axis_name), Y=P_(None, axis_name), rho=P_(),
             H_diag=P_(), t_prev=P_(), d_prev=flat, n_iter=P_())
     else:
-        st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat, x_prev=flat,
-                                     g_prev=flat, Mg_prev=flat, n_iter=P_())
+        st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat,
+                                     g_prev=flat, Mg_prev=flat, s_prev=flat,
+                                     n_iter=P_())
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(flat, P_(), P_(axis_name, None, None),

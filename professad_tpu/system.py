@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.grid import (wavevecs, volume, safe_sqrt, inv3x3, rfftn,
-                       irfftn)
+                       irfftn, wmean)
 from .models.kinetic_local import TF_COEFF
 from .ops.interp import interpolate
 from .ops import solvers
@@ -343,7 +343,7 @@ class System:
         """
         chi = chi_flat.reshape(self._shape)
         vol = volume(box_vecs)
-        N_tilde = jnp.mean(chi * chi) * vol
+        N_tilde = wmean(chi * chi) * vol
         den = (N_elec / N_tilde) * chi * chi
         if chi.dtype == jnp.float32:
             c = 1e-10 * N_elec / vol
@@ -364,7 +364,7 @@ class System:
         from .models.potentials import value_and_potential
         chi = chi_flat.reshape(self._shape)
         vol = volume(box_vecs)
-        N_tilde = jnp.mean(chi * chi) * vol
+        N_tilde = wmean(chi * chi) * vol
         den_pre = (N_elec / N_tilde) * chi * chi
         if chi.dtype == jnp.float32:
             c = 1e-10 * N_elec / vol
@@ -379,9 +379,9 @@ class System:
         # chain through the chi-parameterization (+ f32 floor scale s):
         # dE/dchi_j = s (N/N~) 2 chi_j w (pot_j - mu),
         # mu = mean(pot * den_pre) vol / N
-        mu = jnp.mean(pot * den_pre) * vol / N_elec
+        mu = wmean(pot * den_pre) * vol / N_elec
         dEdchi = s * (N_elec / N_tilde) * 2.0 * chi * (pot - mu) * quad_w
-        return E, dEdchi.reshape(-1)
+        return E, dEdchi.reshape(chi_flat.shape)
 
     def _spectral_precond(self, box_vecs, N_elec):
         """Teter-style spectral preconditioner: inverse of the uniform-gas
@@ -455,6 +455,98 @@ class System:
         floor = 1e-8 * jnp.max(F)
         return 1.0 / jnp.maximum(F, floor)
 
+    def _exact_precond_kernel_radial(self, box_vecs, N_elec, n1d=4096):
+        """Radially-sampled exact preconditioner kernel for LARGE grids.
+
+        The uniform-density Hessian diagonal F(k) is radial — every built-in
+        term is isotropic at uniform density (spectral kernels are functions
+        of |k|; GGA gradient corrections enter the second variation as
+        powers of |k|^2).  So instead of the full-grid HVP (whose
+        forward-over-reverse holds ~20 grid-sized temporaries — 18.5 GB at
+        512^3, more than one v5e), evaluate the SAME HVP on a degenerate
+        1-D ray grid (n1d, 1, 1) whose k_x axis covers [0, 1.02 |k|_max]
+        of the target grid, and cubic-Hermite-interpolate F(|k|) onto the
+        3-D half-spectrum.  The surrogate keeps the same n0, so every
+        sampled value is the exact discrete kernel at that |k|; the only
+        approximation is interpolation between ray samples (Delta k_ray
+        ~0.4x the target grid's own k-spacing at n1d=4096).
+
+        Scale note: the discrete F carries a grid-dependent quadrature
+        factor vol/N_grid, which differs between the surrogate and target
+        grids — but both TPGD and L-BFGS rescale the preconditioner by
+        H_diag = y.s/y.My every step, so a k-independent factor cancels
+        identically and no correction is needed.
+
+        Ladder-based terms (Huang-Carter family) are excluded by the
+        caller (`_precond_kernel`): their aux kernel slabs are tied to the
+        target grid's xi ladder and cannot ride a surrogate cell.
+        """
+        from .ops.interp import _tangents, _hermite_weights
+        shape = self._shape
+        dt = box_vecs.dtype
+        _, _, _, k2 = wavevecs(box_vecs, shape)
+        kq = safe_sqrt(k2)
+        kmax = jnp.sqrt(jnp.max(k2))
+        Lx = jnp.pi * n1d / (1.02 * kmax)   # ray k_max = 1.02 |k|_max
+        a = Lx / n1d                         # transverse cell (arbitrary)
+        box_s = jnp.diag(jnp.stack([Lx, a, a])).astype(dt)
+        n0 = N_elec / volume(box_vecs)
+        shape_s = (n1d, 1, 1)
+        n0_field = jnp.full(shape_s, n0, dtype=dt)
+        delta = jnp.zeros(shape_s, dt).at[0, 0, 0].set(1.0)
+        v_zero = jnp.zeros(shape_s, dt)
+        grad_E = jax.grad(
+            lambda den: self._density_terms_energy(box_s, den, v_zero))
+        _, hvp = jax.jvp(grad_E, (n0_field,), (delta,))
+        # rfftn halves the LAST axis (size 1 here); the ray axis is a full
+        # FFT — keep the positive-frequency half, F at k_j = 2 pi j / Lx
+        F1 = rfftn(hvp).real.astype(dt).reshape(-1)[: n1d // 2 + 1]
+        kx = (2.0 * jnp.pi / Lx) * jnp.arange(n1d // 2 + 1, dtype=dt)
+        step = kx[1]
+        # uniform-knot cubic Hermite (the knots are traced, so inline the
+        # O(1) bracket rather than interpolate()'s searchsorted fallback)
+        idx = jnp.clip(jnp.floor(kq / step).astype(jnp.int32), 0, kx.size - 2)
+        m = _tangents(kx, F1)
+        t = (kq - idx.astype(dt) * step) / step
+        h00, h10, h01, h11 = _hermite_weights(t)
+        F = (h00 * F1[idx] + h10 * m[idx] * step
+             + h01 * F1[idx + 1] + h11 * m[idx + 1] * step)
+        # Real-field constraint planes k3 = 0 and k3 = n3/2: stored entries
+        # there pair under the conjugate involution (i, j) -> ((-i)%n1,
+        # (-j)%n2), and where an index sits at its axis Nyquist the paired
+        # representative k-vectors have DIFFERENT norms in non-orthogonal
+        # cells (the +/-Nyquist frequencies alias to one grid mode).  The
+        # discrete Hessian acting on real fields necessarily averages the
+        # pair — the full-grid HVP returns that average at both entries —
+        # so average the radially-evaluated F the same way.  (Away from
+        # Nyquist indices the paired |k| are equal and this is a no-op.)
+        planes = [0] + ([shape[2] // 2] if shape[2] % 2 == 0 else [])
+        for zp in planes:
+            Fp = F[:, :, zp]
+            Fp = 0.5 * (Fp + jnp.roll(Fp[::-1, ::-1], (1, 1), axis=(0, 1)))
+            F = F.at[:, :, zp].set(Fp)
+        floor = 1e-8 * jnp.max(F)
+        return 1.0 / jnp.maximum(F, floor)
+
+    def _has_prepare_terms(self):
+        """True if any term carries per-cell prepared state (xi-ladder
+        kernel slabs, `prepare()`/`aux_arrays()` protocol)."""
+        for f in self._terms:
+            owner = getattr(f, "__self__", f)
+            if callable(getattr(owner, "prepare", None)):
+                return True
+        return False
+
+    def _precond_kernel(self, box_vecs, N_elec, aux=None):
+        """Exact preconditioner kernel M(k), choosing the full-grid HVP or
+        the radially-sampled surrogate (`_exact_precond_kernel_radial`) —
+        the HVP program holds ~20 grid-sized temporaries at peak, which
+        stops fitting one chip above ~256^3."""
+        if (int(np.prod(self._shape)) > 256 ** 3
+                and not self._has_prepare_terms()):
+            return self._jit_precond_kernel_radial(box_vecs, N_elec)
+        return self._jit_precond_kernel(box_vecs, N_elec, aux)
+
     def _apply_spectral(self, M):
         shape = self._shape
         from .ops.grid import spectral_convolution
@@ -473,6 +565,9 @@ class System:
 
         vg_chi = jax.value_and_grad(self._chi_energy)
         self._vg_chi = jax.jit(vg_chi)
+        self._jit_precond_kernel = jax.jit(self._exact_precond_kernel)
+        self._jit_precond_kernel_radial = jax.jit(
+            self._exact_precond_kernel_radial)
         self._jit_den_energy = jax.jit(self._density_terms_energy)
         self._jit_dEdn = jax.jit(jax.grad(self._density_terms_energy, argnums=1))
 
@@ -497,14 +592,26 @@ class System:
 
         def lbfgs_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
                        max_iter, conv_target="dE", precondition=False,
-                       block=6, skip_iters=5, aux=None, analytic=False):
+                       block=6, skip_iters=5, aux=None, analytic=False,
+                       M_kernel=None):
             if analytic:
                 vg = lambda x: self._chi_value_and_grad_analytic(
                     x, box_vecs, v_ext, N_elec, aux=aux)
             else:
                 vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
-            aH0 = (self._exact_precond(box_vecs, N_elec, aux=aux)
-                   if precondition else None)
+            # precondition: the exact spectral kernel is preferably HOISTED
+            # into its own program (M_kernel passed as an argument) — the
+            # forward-over-reverse HVP that builds it holds ~20 grid-sized
+            # temporaries at peak, which would dominate the whole-opt
+            # program's memory at large grids (512^3: 10+ GB of the 17.8 GB
+            # that did not fit one v5e).  In-program fallback kept for
+            # callers without a kernel.
+            if M_kernel is not None:
+                aH0 = self._apply_spectral(M_kernel)
+            elif precondition:
+                aH0 = self._exact_precond(box_vecs, N_elec, aux=aux)
+            else:
+                aH0 = None
             stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec,
                                          aux=aux)
             return solvers.lbfgs_minimize(vg, chi0, lr=lr, ntol=ntol,
@@ -512,7 +619,8 @@ class System:
                                           max_iter=max_iter,
                                           f_scale=EV_PER_HA, apply_H0=aH0,
                                           stop_fn=stop_fn, block=block,
-                                          skip_iters=skip_iters)
+                                          skip_iters=skip_iters,
+                                          freeze_lanes=False)
 
         self._jit_lbfgs_full = jax.jit(
             lbfgs_full,
@@ -521,14 +629,19 @@ class System:
 
         def tpgd_full(chi0, box_vecs, v_ext, N_elec, lr, ntol, conv_count,
                       max_iter, conv_target="dE", precondition=False,
-                      skip_iters=5, aux=None, analytic=False):
+                      skip_iters=5, aux=None, analytic=False, M_kernel=None,
+                      track_best=True):
             if analytic:
                 vg = lambda x: self._chi_value_and_grad_analytic(
                     x, box_vecs, v_ext, N_elec, aux=aux)
             else:
                 vg = lambda x: vg_chi(x, box_vecs, v_ext, N_elec, aux)
-            aH0 = (self._exact_precond(box_vecs, N_elec, aux=aux)
-                   if precondition else None)
+            if M_kernel is not None:   # hoisted kernel (see lbfgs_full)
+                aH0 = self._apply_spectral(M_kernel)
+            elif precondition:
+                aH0 = self._exact_precond(box_vecs, N_elec, aux=aux)
+            else:
+                aH0 = None
             stop_fn = self._make_stop_fn(conv_target, box_vecs, v_ext, N_elec,
                                          aux=aux)
             return solvers.tpgd_minimize(vg, chi0, lr=lr, ntol=ntol,
@@ -536,11 +649,13 @@ class System:
                                          max_iter=max_iter,
                                          f_scale=EV_PER_HA, apply_H0=aH0,
                                          stop_fn=stop_fn,
-                                         skip_iters=skip_iters)
+                                         skip_iters=skip_iters,
+                                         freeze_lanes=False,
+                                         track_best=track_best)
 
         self._jit_tpgd_full = jax.jit(
             tpgd_full, static_argnames=("conv_target", "precondition",
-                                        "analytic"))
+                                        "analytic", "track_best"))
 
     def _make_stop_fn(self, conv_target, box_vecs, v_ext, N_elec, aux=None):
         """Convergence measure for the jitted while-loop optimizer, one
@@ -559,12 +674,12 @@ class System:
             def stop_fn(st, f_prev):
                 chi = st.x.reshape(self._shape)
                 vol = volume(box_vecs)
-                N_tilde = jnp.mean(chi * chi) * vol
+                N_tilde = wmean(chi * chi) * vol
                 den = (N_elec / N_tilde) * chi * chi
                 quad_w = vol / den.size
                 dEdn = jax.grad(self._density_terms_energy, argnums=1)(
                     box_vecs, den, v_ext, aux) / quad_w
-                mu = jnp.mean(dEdn * den) * vol / N_elec
+                mu = wmean(dEdn * den) * vol / N_elec
                 return jnp.max(jnp.abs(mu - dEdn))
             return stop_fn
         raise ValueError("conv_target must be 'dE', 'dEdchi' or 'euler'")
@@ -642,13 +757,13 @@ class System:
             return float(jnp.max(jnp.abs(self.functional_derivative("chi"))))
         elif method == "euler":
             dEdn = self.functional_derivative("density")
-            mu = jnp.mean(dEdn * self._den) * self.volume("b3") / self._N_elec
+            mu = wmean(dEdn * self._den) * self.volume("b3") / self._N_elec
             return float(jnp.max(jnp.abs(mu - dEdn)))
         raise ValueError("method must be 'dEdchi' or 'euler'")
 
     def chemical_potential(self):
         dEdn = self.functional_derivative("density")
-        return float(jnp.mean(dEdn * self._den) * self.volume("b3") / self._N_elec)
+        return float(wmean(dEdn * self._den) * self.volume("b3") / self._N_elec)
 
     # ------------------------------------------------------------------
     # density optimization
@@ -717,10 +832,15 @@ class System:
         aux = self._collect_term_aux()
 
         quad_w = self.volume("b3") / self._den.size
-        chi0 = safe_sqrt(self._den).reshape(-1)
+        # 3-D shaped chi: the solvers are shape-preserving, and a naturally
+        # shaped loop carry is what keeps the TPU FFT's internal stage
+        # reshapes benignly laid out (see ops/solvers.py module docstring).
+        # The mesh paths shard the FLAT vector (pencil-local slices).
+        chi0 = safe_sqrt(self._den)
         args = (self._box_vecs, self._v_ext, self._N_elec)
 
         if mesh is not None:
+            chi0 = chi0.reshape(-1)
             from jax.sharding import NamedSharding, PartitionSpec as P
             if not jit_loop:
                 raise ValueError("mesh= requires jit_loop=True")
@@ -735,7 +855,7 @@ class System:
                 # all-gathers the grid per FFT: the auto-partitioner
                 # cannot partition FFT ops.)
                 from .parallel.pfft import pencil_tpgd_minimize
-                M = self._exact_precond_kernel(self._box_vecs, self._N_elec)
+                M = self._precond_kernel(self._box_vecs, self._N_elec)
                 state, n_it, conv = pencil_tpgd_minimize(
                     mesh, self._shape, self._box_vecs, self._v_ext,
                     self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
@@ -774,18 +894,25 @@ class System:
                         "analytic=True requires every term to have a fused "
                         "analytic potential (models/potentials.py); use the "
                         "autodiff path for this term set.")
+            # hoist the exact preconditioner kernel into its own program:
+            # the HVP that builds it holds ~20 grid-sized temporaries at
+            # peak — run it transiently, free them, and pass M(k) (one
+            # half-spectrum array) into the whole-opt program as data
+            Mk = (self._precond_kernel(args[0], args[2], aux)
+                  if precondition else None)
             if n_method == "TPGD":
                 state, n_it, conv = self._jit_tpgd_full(
                     chi0, *args, n_step_size, ntol, n_conv_cond_count,
                     round(n_maxiter), conv_target=conv_target,
-                    precondition=precondition, skip_iters=skip_iters,
-                    aux=aux, analytic=analytic)
+                    skip_iters=skip_iters,
+                    aux=aux, analytic=analytic, M_kernel=Mk)
             else:
                 state, n_it, conv = self._jit_lbfgs_full(
                     chi0, *args, n_step_size, ntol, n_conv_cond_count,
                     round(n_maxiter), conv_target=conv_target,
-                    precondition=precondition, block=block,
-                    skip_iters=skip_iters, aux=aux, analytic=analytic)
+                    block=block,
+                    skip_iters=skip_iters, aux=aux, analytic=analytic,
+                    M_kernel=Mk)
             self._set_den_from_chi(state.x)
             self._ene = self._compute_energy(
                 use_ion_cache=self._Eion_cache is not None)
@@ -814,11 +941,11 @@ class System:
             def vg_pot(chi_flat):
                 chi = chi_flat.reshape(self._shape)
                 vol = volume(self._box_vecs)
-                N_tilde = jnp.mean(chi * chi) * vol
+                N_tilde = wmean(chi * chi) * vol
                 den = (self._N_elec / N_tilde) * chi * chi
                 E = self._density_terms_energy(self._box_vecs, den, self._v_ext)
                 dEdn = potentials(self._box_vecs, den)
-                mu = jnp.mean(dEdn * den) * vol / self._N_elec
+                mu = wmean(dEdn * den) * vol / self._N_elec
                 dEdchi = (self._N_elec / N_tilde) * 2.0 * chi * (dEdn - mu)
                 return E, (dEdchi * (vol / den.size)).reshape(-1)
 
@@ -884,7 +1011,7 @@ class System:
 
     def _set_den_from_chi(self, chi_flat):
         chi = chi_flat.reshape(self._shape)
-        N_tilde = jnp.mean(chi * chi) * self.volume("b3")
+        N_tilde = wmean(chi * chi) * self.volume("b3")
         self._den = (self._N_elec / N_tilde) * chi * chi
 
     # ------------------------------------------------------------------
@@ -994,7 +1121,7 @@ class System:
             h = box0 * (vol / vol0) ** (1.0 / 3.0)
             v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
                      else self._v_ext)
-            N_tilde = jnp.mean(chi * chi) * vol
+            N_tilde = wmean(chi * chi) * vol
             den = (N_elec / N_tilde) * chi * chi
             e = self._density_terms_energy(h, den, v_ext)
             if has_ii:
@@ -1042,7 +1169,7 @@ class System:
         def energy(chi, h):
             v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
                      else self._v_ext)
-            N_tilde = jnp.mean(chi * chi) * volume(h)
+            N_tilde = wmean(chi * chi) * volume(h)
             den = (N_elec / N_tilde) * chi * chi
             e = self._density_terms_energy(h, den, v_ext)
             if has_ii:
@@ -1100,7 +1227,7 @@ class System:
 
         def energy(chi, cart):
             v_ext = self._potential_from_ions(box0, cart)
-            N_tilde = jnp.mean(chi * chi) * volume(box0)
+            N_tilde = wmean(chi * chi) * volume(box0)
             den = (N_elec / N_tilde) * chi * chi
             e = self._density_terms_energy(box0, den, v_ext)
             if has_ii:
@@ -1160,7 +1287,7 @@ class System:
         chi0 = self._gs_chi()
 
         def energy(chi, params):
-            N_tilde = jnp.mean(chi * chi) * vol
+            N_tilde = wmean(chi * chi) * vol
             den = (N_elec / N_tilde) * chi * chi
             E = jnp.zeros((), dtype=den.dtype)
             for f in self._terms:
@@ -1186,7 +1313,7 @@ class System:
             E = energy(chi, params) + E_ion
             if property_fn is None:
                 return E
-            N_tilde = jnp.mean(chi * chi) * vol
+            N_tilde = wmean(chi * chi) * vol
             den = (N_elec / N_tilde) * chi * chi
             return property_fn(den, E)
 
@@ -1231,7 +1358,7 @@ class System:
             h = box0 * (vol / vol0) ** (1.0 / 3.0)
             v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
                      else self._v_ext)
-            N_tilde = jnp.mean(chi * chi) * vol
+            N_tilde = wmean(chi * chi) * vol
             den = (N_elec / N_tilde) * chi * chi
             E = jnp.zeros((), dtype=den.dtype)
             for f in self._terms:
@@ -1549,7 +1676,7 @@ class System:
             frac, box = unpack(jnp.asarray(x))
             v_ext = (self._potential_from_ions(box, frac @ box)
                      if self._needs_vext() else self._v_ext)
-            N_tilde = jnp.mean(chi * chi) * volume(box)
+            N_tilde = wmean(chi * chi) * volume(box)
             den = (self._N_elec / N_tilde) * chi * chi
             E = self._density_terms_energy(box, den, v_ext)
             if self._has_ion_ion():
@@ -1659,7 +1786,7 @@ class System:
             box, frac = parameterized_geometry(p)
             v_ext = (self._potential_from_ions(box, frac @ box)
                      if self._needs_vext() else self._v_ext)
-            N_tilde = jnp.mean(chi * chi) * volume(box)
+            N_tilde = wmean(chi * chi) * volume(box)
             den = (self._N_elec / N_tilde) * chi * chi
             E = self._density_terms_energy(box, den, v_ext)
             if self._has_ion_ion():

@@ -354,8 +354,8 @@ def test_pencil_whole_optimization_matches_single_device():
                                   axis_name="grid")
 
     st_specs = _sol.TPGDState(x=P("grid"), f=P(), g=P("grid"),
-                              x_prev=P("grid"), g_prev=P("grid"),
-                              Mg_prev=P("grid"), n_iter=P())
+                              g_prev=P("grid"),
+                              Mg_prev=P("grid"), s_prev=P("grid"), n_iter=P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P("grid"), P(), P("grid", None, None),
                              P(None, "grid", None)),

@@ -66,3 +66,27 @@ def test_step_timer():
     assert s["steps"] == 3
     assert s["total_s"] > 0
     assert np.isclose(s["steps_per_s"], 3 / s["total_s"])
+
+
+def test_radial_precond_kernel_matches_full_hvp():
+    """The radially-sampled preconditioner kernel (the >256^3 memory path:
+    1-D ray HVP + cubic Hermite in |k|) must agree with the full-grid HVP
+    kernel up to one k-independent scale (the grid quadrature factor,
+    which the BB/L-BFGS H_diag rescale cancels identically)."""
+    s = _fcc_al(shape=(16, 20, 24))  # anisotropic grid exercises |k| query
+    Ne = float(s._N_elec)
+    M3 = np.asarray(s._exact_precond_kernel(s._box_vecs, Ne))
+    Mr = np.asarray(s._exact_precond_kernel_radial(s._box_vecs, Ne))
+    r = M3 / Mr
+    med = np.median(r)
+    assert np.max(np.abs(r / med - 1.0)) < 1e-4, np.max(np.abs(r / med - 1.0))
+
+
+def test_precond_kernel_auto_selects_hvp_below_threshold():
+    """_precond_kernel keeps the bit-exact full HVP at small grids (the
+    radial surrogate only engages above 256^3)."""
+    s = _fcc_al(shape=(12, 12, 12))
+    Ne = float(s._N_elec)
+    M = np.asarray(s._precond_kernel(s._box_vecs, Ne))
+    M3 = np.asarray(s._jit_precond_kernel(s._box_vecs, Ne, None))
+    assert np.array_equal(M, np.asarray(M3))
