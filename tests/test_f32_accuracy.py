@@ -71,6 +71,54 @@ def test_f32_energy_and_stress_bounds_fcc_al():
         np.max(np.abs(S32 - S64))                            # measured 1.6e-4
 
 
+def test_wmean_beats_naive_3d_reduction():
+    """wmean (column-sum + f64 combine, cast back to f32) holds ~1-ulp
+    accuracy regardless of array shape.  Motivation: XLA compiles 3-D and
+    flat f32 full reductions to DIFFERENT summation orders (measured -4e-7
+    vs +6e-8 relative on the same 48^3 field on XLA:CPU); a 3e-6-relative
+    N_tilde error rescales the density and shifts the energy by
+    mu*N*rho ~ 1e-5 Ha, which dominated every other f32 error source."""
+    from professad_tpu.ops.grid import wmean
+    import jax
+
+    rng = np.random.default_rng(3)
+    x64 = 0.0296 * (1.0 + 0.3 * rng.standard_normal((48, 48, 48)))
+    x32 = jnp.asarray(x64, jnp.float32)
+    m64 = float(np.mean(x64))
+    for xs in (x32, x32.reshape(-1)):
+        m = float(jax.jit(wmean)(xs))
+        assert abs(m - m64) / m64 < 1.5e-7, abs(m - m64) / m64
+    # the tangent rule is linear and composes with second-order autodiff
+    g = jax.grad(lambda a: wmean(a * a))(x32)
+    assert np.allclose(np.asarray(g), 2.0 * np.asarray(x32) / x32.size,
+                       rtol=1e-6)
+    hvp = jax.jvp(jax.grad(lambda a: wmean(a * a)), (x32,),
+                  (jnp.ones_like(x32),))[1]
+    assert np.allclose(np.asarray(hvp), 2.0 / x32.size, rtol=1e-6)
+    assert m64 != 0.0
+
+
+def test_f32_fft_dc_split_exact_on_uniform_fields():
+    """The DC-split f32 rfftn/irfftn carry k=0 around the backend
+    transform: a uniform field transforms to EXACT zeros off-DC (no DC
+    leak) and round-trips exactly.  This is what makes the preconditioner
+    HVP and whole-optimization trajectories run-to-run deterministic on
+    TPU (the backend FFT's leak pattern varies between compiled
+    programs)."""
+    from professad_tpu.ops.grid import rfftn, irfftn
+    import jax
+
+    c = jnp.float32(0.0296)
+    x = jnp.full((24, 24, 24), c, dtype=jnp.float32)
+    X = jax.jit(rfftn)(x)
+    X = np.array(X)  # writable copy
+    assert X[0, 0, 0] == np.float32(c) * x.size
+    X[0, 0, 0] = 0.0
+    assert np.all(X == 0.0), np.max(np.abs(X))
+    y = np.asarray(jax.jit(lambda v: irfftn(rfftn(v), v.shape))(x))
+    assert np.all(y == np.float32(c)), np.max(np.abs(y - float(c)))
+
+
 def test_f32_force_bounds_triclinic_li2():
     box_li = jnp.asarray([[3.5, 0.0, 0.0],
                           [0.4, 3.2, 0.0],
