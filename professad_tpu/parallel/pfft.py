@@ -29,6 +29,8 @@ virtual CPU mesh (tests/test_parallel.py), and the compiled HLO is asserted
 to contain all-to-all and NO full-grid all-gather.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,7 +41,8 @@ from jax.sharding import PartitionSpec as P
 from ..ops.grid import inv3x3, _freq_indices
 
 __all__ = ["prfftn", "pirfftn", "pwavevecs", "pconv", "make_penergy",
-           "pmean", "pqmean", "penergy_wt_pbe", "pvalue_and_potential_wt_pbe",
+           "pmean", "pqmean", "pwmean", "penergy_wt_pbe",
+           "pvalue_and_potential_wt_pbe",
            "pchi_value_and_grad", "pencil_tpgd_minimize"]
 
 
@@ -141,6 +144,31 @@ def pqmean(x_local, axis_name="grid"):
     tot = lax.psum(s_local, axis_name)
     N = lax.psum(jnp.asarray(n, jnp.float64), axis_name)
     return tot / N
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _pwmean32(x_local, axis_name):
+    return pqmean(x_local, axis_name).astype(jnp.float32)
+
+
+@_pwmean32.defjvp
+def _pwmean32_jvp(axis_name, primals, tangents):
+    x, = primals
+    t, = tangents
+    return _pwmean32(x, axis_name), pmean(t, axis_name)
+
+
+def pwmean(x_local, axis_name="grid"):
+    """Distributed analogue of ops.grid.wmean: working-dtype accurate
+    global mean for means that FEED array arithmetic (N_tilde, mu).  Same
+    column-sum + f64-psum as :func:`pqmean`, cast back to f32 so the
+    graph never upcasts; linear custom_jvp so second-order autodiff
+    composes.  See ops.grid.wmean for the measured f32 reduction-order
+    hazard this removes (a 3e-6-relative N_tilde error shifts the total
+    energy by mu*N*rho ~ 1e-5 Ha)."""
+    if x_local.dtype != jnp.float32:
+        return pmean(x_local, axis_name)
+    return _pwmean32(x_local, axis_name)
 
 
 def penergy_wt_pbe(box_vecs, den_local, v_ext_local, shape,
@@ -348,7 +376,7 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
     local_shape = (shape[0] // n_dev, shape[1], shape[2])
     chi = chi_local_flat.reshape(local_shape)
     vol = jnp.abs(jnp.linalg.det(box_vecs))
-    N_tilde = pmean(chi * chi, axis_name) * vol
+    N_tilde = pwmean(chi * chi, axis_name) * vol
     den_pre = (N_elec / N_tilde) * chi * chi
     if chi.dtype == jnp.float32:
         c = 1e-10 * N_elec / vol
@@ -360,7 +388,7 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
     E, pot = pvalue_and_potential_wt_pbe(box_vecs, den, v_ext_local, shape,
                                          axis_name)
     quad_w = vol / (shape[0] * shape[1] * shape[2])
-    mu = pmean(pot * den_pre, axis_name) * vol / N_elec
+    mu = pwmean(pot * den_pre, axis_name) * vol / N_elec
     dEdchi = s * (N_elec / N_tilde) * 2.0 * chi * (pot - mu) * quad_w
     return E, dEdchi.reshape(-1)
 
