@@ -96,3 +96,28 @@ def test_tpgd_converges_on_quadratic():
     for _ in range(300):
         st = step(st)
     assert np.allclose(np.asarray(st.x), np.asarray(x_star), atol=1e-6)
+
+
+def test_tpgd_minimize_returns_best_iterate():
+    """track_best: the BB trajectory is non-monotone, so the final iterate
+    can sit above an already-visited point (observed 3.8e-7 eV on the f64
+    HC tier).  With an overshooting first step (fallback lr scaled by the
+    1/|d|_1 cap), the initial point IS the best after one iteration —
+    track_best must return it; track_best=False returns the worse final
+    iterate."""
+    A = jnp.asarray(np.diag([1.0, 4.0]))
+
+    def vg(x):
+        return 0.5 * x @ (A @ x), A @ x
+
+    x0 = jnp.asarray([1.0, 1.0])
+    f0 = float(vg(x0)[0])
+    st_b, it, conv = solvers.tpgd_minimize(vg, x0, lr=400.0, ntol=1e-30,
+                                           conv_count=3, max_iter=1,
+                                           track_best=True)
+    st_f, _, _ = solvers.tpgd_minimize(vg, x0, lr=400.0, ntol=1e-30,
+                                       conv_count=3, max_iter=1,
+                                       track_best=False)
+    assert float(st_f.f) > f0            # the raw step overshot
+    assert float(st_b.f) == f0           # best-seen returned instead
+    assert np.allclose(np.asarray(st_b.x), np.asarray(x0))
