@@ -503,14 +503,24 @@ class System:
         F1 = rfftn(hvp).real.astype(dt).reshape(-1)[: n1d // 2 + 1]
         kx = (2.0 * jnp.pi / Lx) * jnp.arange(n1d // 2 + 1, dtype=dt)
         step = kx[1]
+        # Interpolate in M = 1/F space, not F: near k = 0 the Hartree
+        # response makes F ~ 4 pi n0^2 / k^2 (1/k^2-singular — cubic
+        # Hermite on F errs ~(0.75)(Delta k_ray / k)^2 ~ 1% at the lowest
+        # modes of a 512^3 grid), while M ~ k^2 is polynomial-smooth
+        # there; at large k both are smooth but M's curvature is smaller.
+        # Convert back to F afterwards because the constraint-plane
+        # averaging below must average F (the full-grid HVP averages the
+        # Hessian diagonal, and avg(1/M) != 1/avg(M)).
+        M1 = 1.0 / jnp.maximum(F1, 1e-8 * jnp.max(F1))
         # uniform-knot cubic Hermite (the knots are traced, so inline the
         # O(1) bracket rather than interpolate()'s searchsorted fallback)
         idx = jnp.clip(jnp.floor(kq / step).astype(jnp.int32), 0, kx.size - 2)
-        m = _tangents(kx, F1)
+        m = _tangents(kx, M1)
         t = (kq - idx.astype(dt) * step) / step
         h00, h10, h01, h11 = _hermite_weights(t)
-        F = (h00 * F1[idx] + h10 * m[idx] * step
-             + h01 * F1[idx + 1] + h11 * m[idx + 1] * step)
+        M = (h00 * M1[idx] + h10 * m[idx] * step
+             + h01 * M1[idx + 1] + h11 * m[idx + 1] * step)
+        F = 1.0 / jnp.maximum(M, 1e-12 * jnp.max(M1))
         # Real-field constraint planes k3 = 0 and k3 = n3/2: stored entries
         # there pair under the conjugate involution (i, j) -> ((-i)%n1,
         # (-j)%n2), and where an index sits at its axis Nyquist the paired
@@ -541,10 +551,14 @@ class System:
         """Exact preconditioner kernel M(k), choosing the full-grid HVP or
         the radially-sampled surrogate (`_exact_precond_kernel_radial`) —
         the HVP program holds ~20 grid-sized temporaries at peak, which
-        stops fitting one chip above ~256^3."""
+        stops fitting one chip above ~256^3.  The ray resolution scales
+        with the grid (16 samples per target-axis point) so the
+        lowest-|k| interpolation error stays ~1e-4 of the kernel."""
         if (int(np.prod(self._shape)) > 256 ** 3
                 and not self._has_prepare_terms()):
-            return self._jit_precond_kernel_radial(box_vecs, N_elec)
+            n1d = max(4096, 16 * max(self._shape))
+            return self._jit_precond_kernel_radial(box_vecs, N_elec,
+                                                   n1d=n1d)
         return self._jit_precond_kernel(box_vecs, N_elec, aux)
 
     def _apply_spectral(self, M):
@@ -567,7 +581,7 @@ class System:
         self._vg_chi = jax.jit(vg_chi)
         self._jit_precond_kernel = jax.jit(self._exact_precond_kernel)
         self._jit_precond_kernel_radial = jax.jit(
-            self._exact_precond_kernel_radial)
+            self._exact_precond_kernel_radial, static_argnames=("n1d",))
         self._jit_den_energy = jax.jit(self._density_terms_energy)
         self._jit_dEdn = jax.jit(jax.grad(self._density_terms_energy, argnums=1))
 

@@ -79,7 +79,10 @@ def test_radial_precond_kernel_matches_full_hvp():
     Mr = np.asarray(s._exact_precond_kernel_radial(s._box_vecs, Ne))
     r = M3 / Mr
     med = np.median(r)
-    assert np.max(np.abs(r / med - 1.0)) < 1e-4, np.max(np.abs(r / med - 1.0))
+    # M-space Hermite interpolation: measured 1.2e-6 at 32^3/n1d=4096
+    # (F-space interpolation of the 1/k^2-singular Hartree response was
+    # ~100x worse at the lowest modes)
+    assert np.max(np.abs(r / med - 1.0)) < 1e-5, np.max(np.abs(r / med - 1.0))
 
 
 def test_precond_kernel_auto_selects_hvp_below_threshold():
