@@ -1,0 +1,87 @@
+"""Drop-in migration surface: the reference's module layout and public
+names resolve under ``professad_tpu`` (reference: professad/functionals.py,
+functional_tools.py, ion_utils.py, crystal_tools.py, elastic_tools.py —
+name lists extracted from the module-level def/class statements).
+
+A PROFESS-AD script should migrate by substituting the package name; the
+second test runs the reference's basic density-optimization tutorial
+(tutorial_examples/density_optimization/basic_example.py) through the
+compatibility imports end to end.
+"""
+
+import numpy as np
+
+from paths import pot
+
+REFERENCE_SURFACE = {
+    "functionals": [
+        "IonIon", "IonElectron", "Hartree", "KineticFunctional",
+        "ThomasFermi", "Weizsaecker", "vWGTF1", "vWGTF2",
+        "LuoKarasievTrickey", "PauliGaussian", "YukawaGGA",
+        "G_inv_lind_analytical", "G_inv_lind", "G_inv_lindhard",
+        "non_local_KEF", "WangTeter", "Perrot", "SmargiassiMadden",
+        "WangGovindCarter98", "WangTeterStyleFunctional",
+        "WangGovindCarter99", "FoleyMadden", "G_inv_gap", "KGAP",
+        "HuangCarter", "RevisedHuangCarter", "MiGenovaPavanello",
+        "XuWangMa", "lda_exchange", "perdew_zunger_correlation",
+        "perdew_wang_correlation", "chachiyo_correlation", "PerdewZunger",
+        "PerdewWang", "Chachiyo", "pbe_exchange", "pbe_correlation",
+        "PerdewBurkeErnzerhof",
+    ],
+    "functional_tools": [
+        "get_functional_derivative", "get_inv_G", "get_stress",
+        "get_pressure", "wavevecs", "grad_i", "grad_dot_grad", "laplacian",
+        "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
+        "interpolate", "interpolate_kernel", "field_dependent_convolution",
+    ],
+    "ion_utils": [
+        "get_ion_charge", "interpolate_recpot", "lattice_sum",
+        "structure_factor", "cardinal_b_spline_values",
+        "exponential_spline_b", "structure_factor_spline",
+        "ion_interaction_sum",
+    ],
+    "crystal_tools": [
+        "get_cell", "simple_cubic", "body_centered_cubic",
+        "face_centered_cubic", "diamond_cubic", "hexagonal_close_packed",
+    ],
+    "elastic_tools": [
+        "fit_eos", "voigt_moduli", "reuss_moduli", "shear_average",
+        "poissons_ratio", "youngs_modulus",
+    ],
+}
+
+
+def test_every_reference_name_importable():
+    import importlib
+    missing = []
+    for mod, names in REFERENCE_SURFACE.items():
+        m = importlib.import_module(f"professad_tpu.{mod}")
+        for name in names:
+            if not hasattr(m, name):
+                missing.append(f"professad_tpu.{mod}.{name}")
+    assert not missing, f"missing compat names: {missing}"
+    # System lives at the same path shape as the reference
+    from professad_tpu.system import System  # noqa: F401
+
+
+def test_reference_basic_tutorial_flow():
+    # the reference's basic_example.py with only the package name changed
+    # (and a coarser test-sized cutoff: 500 eV instead of 2000 eV)
+    from professad_tpu.system import System
+    from professad_tpu.functionals import (IonIon, IonElectron, Hartree,
+                                           WangTeter, PerdewBurkeErnzerhof)
+    from professad_tpu.crystal_tools import get_cell
+
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    box_vecs, frac_ion_coords = get_cell("fcc", vol_per_atom=24.8,
+                                         coord_type="fractional")
+    ions = [["Al", pot("al.gga.recpot"), frac_ion_coords]]
+    shape = System.ecut2shape(500, box_vecs)
+    system = System(box_vecs, shape, ions, terms, units="a",
+                    coord_type="fractional")
+    system.optimize_density(ntol=1e-7, conv_target="dE", n_method="LBFGS")
+
+    dEdchi_max = system.check_density_convergence("dEdchi")
+    euler_max = system.check_density_convergence("euler")
+    assert np.isfinite(system.energy("eV"))
+    assert dEdchi_max < 1e-3 and euler_max < 1e-2  # converged diagnostics
