@@ -9,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt, qmean,
+from ..ops.grid import (wavevecs, volume, laplacian, safe_sqrt, qmean, wmean,
                         reduced_gradient, reduced_gradient_squared,
                         reduced_laplacian, powr)
 from ..ops.fieldconv import (field_dependent_convolution,
@@ -41,7 +41,7 @@ def Weizsaecker(box_vecs, den):
 def _mean_density(box_vecs, den):
     """n0 = N_e / vol with N_e rounded & detached (functionals.py:269-271)."""
     vol = volume(box_vecs)
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
     return N_elec / vol
 
 

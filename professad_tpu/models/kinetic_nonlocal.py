@@ -309,7 +309,7 @@ class WangGovindCarter99(KineticFunctional):
     def apply(self, params, box_vecs, den):
         vol = volume(box_vecs)
         _, _, _, k2 = wavevecs(box_vecs, den.shape)
-        N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+        N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
         n0 = N_elec / vol
         n_ref = params["kappa"] * n0
 
@@ -406,7 +406,7 @@ class FoleyMadden(KineticFunctional):
         TF = ThomasFermi(box_vecs, den)
 
         vol = volume(box_vecs)
-        N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+        N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
         n0 = N_elec / vol
         k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
 
@@ -458,7 +458,7 @@ def G_inv_gap(box_vecs, den, E_gap):
     """Linear response of a gapped jellium (parity: functionals.py:1106-1128)."""
     _, _, _, k2 = wavevecs(box_vecs, den.shape)
     vol = volume(box_vecs)
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
     n0 = N_elec / vol
     k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
     eta = safe_sqrt(k2) / (2.0 * k_F)
@@ -497,7 +497,7 @@ def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
     beta = 0.5 + (float(5.0 - np.sqrt(5.0)) / 6.0 - 0.5) * fraction
 
     vol = volume(box_vecs)
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
     n0 = N_elec / vol
 
     eta, G_inv = G_inv_gap(box_vecs, den, E_gap)
@@ -766,7 +766,7 @@ class MiGenovaPavanello(KineticFunctional):
     def apply(self, params, box_vecs, den, aux=None):
         vol = volume(box_vecs)
         _, _, _, k2 = wavevecs(box_vecs, den.shape)
-        N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+        N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
         n0 = N_elec / vol
         k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
 
@@ -821,7 +821,7 @@ def XuWangMa(box_vecs, den, kappa=0.0):
     """XWM: line-integral kernel with first-order density-dependence Taylor
     expansion (parity: functionals.py:1456-1498)."""
     vol = volume(box_vecs)
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den) * vol))
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den) * vol))
     n0 = N_elec / vol
 
     eta, G_inv = G_inv_lindhard(box_vecs, den)

@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid import wavevecs, volume, reduced_gradient, reduced_laplacian
+from ..ops.grid import (wavevecs, volume, qmean, reduced_gradient,
+                        reduced_laplacian)
 from .base import KineticFunctional
 from .kinetic_local import Weizsaecker, TF_COEFF
 
@@ -63,5 +64,5 @@ class NeuralNetworkFunctional(KineticFunctional):
         q = reduced_laplacian(k2, den)
         F_enh = self.enhancement_factor(params, s, q)
         TF_ked = TF_COEFF * den ** (5.0 / 3.0)
-        pauli_T = jnp.mean(F_enh * TF_ked) * volume(box_vecs)
+        pauli_T = qmean(F_enh * TF_ked) * volume(box_vecs)
         return Weizsaecker(box_vecs, den) + pauli_T

@@ -108,6 +108,13 @@ def wavevecs(box_vecs, shape):
     Differentiable w.r.t. ``box_vecs`` — this is how stress flows through
     every FFT-based term (parity: functional_tools.py:135-162).
     """
+    if _PENCIL_AXIS is not None:
+        # callers pass the LOCAL (axis-0 slab) field shape; the k-slab is
+        # the axis-1 pencil of the GLOBAL grid's half spectrum
+        from ..parallel import pfft
+        n_dev = jax.lax.axis_size(_PENCIL_AXIS)
+        gshape = (shape[0] * n_dev, shape[1], shape[2])
+        return pfft.pwavevecs(box_vecs, gshape, _PENCIL_AXIS)
     dtype = box_vecs.dtype
     b = 2.0 * jnp.pi * inv3x3(box_vecs.T)  # reciprocal lattice rows
     nA, nB, nC = _freq_indices(shape)
@@ -183,6 +190,9 @@ def qmean(x):
     autodiff (the f32 branch is custom_jvp with a linear tangent rule), so
     HVPs and second derivatives work on the TPU f32 tier too.
     """
+    if _PENCIL_AXIS is not None:
+        from ..parallel import pfft
+        return pfft.pqmean(x, _PENCIL_AXIS)
     if x.dtype != jnp.float32:
         return jnp.mean(x)
     return _qmean32(x)
@@ -225,6 +235,9 @@ def wmean(x):
     correctness tier); the tangent rule is linear, so HVPs and
     second-order autodiff compose.
     """
+    if _PENCIL_AXIS is not None:
+        from ..parallel import pfft
+        return pfft.pwmean(x, _PENCIL_AXIS)
     if x.dtype != jnp.float32:
         return jnp.mean(x)
     return _wmean32(x)
@@ -514,6 +527,44 @@ def get_fft_mode():
     return _FFT_MODE
 
 
+_PENCIL_AXIS = None
+
+
+class pencil_mode:
+    """Trace-time context that redirects the core spectral primitives to
+    their pencil-decomposed SPMD implementations (``parallel.pfft``).
+
+    Inside a ``shard_map`` body traced under ``with pencil_mode(axis):``,
+    the SERIAL term bodies in ``models/`` evaluate distributed — every
+    ``rfftn``/``irfftn`` becomes a pencil transform (one ``all_to_all``),
+    ``wavevecs`` yields this device's k-slab, and ``qmean``/``wmean``
+    psum globally — so any fixed-kernel functional gains a multi-chip
+    implementation with AUTOMATIC parity to its serial form (same body,
+    same floating-point recipe; e.g. the Weizsaecker Laplacian-vs-gradient
+    form question cannot re-arise).  Fields are axis-0-sharded slabs of
+    the global grid; callers pass LOCAL shapes exactly as the serial code
+    passes full shapes.
+
+    Ladder-based terms (the Huang-Carter family's batched 4-D transform)
+    are rejected with ``NotImplementedError``.  The context is trace-time
+    state, not runtime state — enter it inside the shard_map body.
+    """
+
+    def __init__(self, axis_name="grid"):
+        self.axis_name = axis_name
+
+    def __enter__(self):
+        global _PENCIL_AXIS
+        self._prev = _PENCIL_AXIS
+        _PENCIL_AXIS = self.axis_name
+        return self
+
+    def __exit__(self, *exc):
+        global _PENCIL_AXIS
+        _PENCIL_AXIS = self._prev
+        return False
+
+
 _CONV_MODE = "native"
 
 
@@ -534,7 +585,7 @@ def spectral_convolution(kern, field, shape):
     preconditioner applications).  Sites whose forward transform is shared
     with other consumers should keep composing rfftn/irfftn instead."""
     if (_CONV_MODE == "pallas" and field.ndim == 3
-            and field.dtype == jnp.float32):
+            and field.dtype == jnp.float32 and _PENCIL_AXIS is None):
         from .pallas_fft import spectral_conv
         return spectral_conv(field, kern)
     return irfftn(kern * rfftn(field), shape)
@@ -558,6 +609,14 @@ def rfftn(x):
     (~30-100x smaller); the exactly-uniform fields used by the
     preconditioner HVP become exact.  f64-class modes (CPU tier, pair
     tier) resolve the leak natively and skip the split."""
+    if _PENCIL_AXIS is not None:
+        if x.ndim != 3:
+            raise NotImplementedError(
+                "pencil mode transforms 3-D fields only — ladder-based "
+                "terms (field_dependent_convolution's batched 4-D FFT) "
+                "have no distributed implementation")
+        from ..parallel import pfft
+        return pfft.prfftn_dc(x, _PENCIL_AXIS)
     if _FFT_MODE == "matmul" and x.ndim == 3:
         from . import tpufft
         return tpufft.rfftn_hp(x)
@@ -575,6 +634,13 @@ def irfftn(X, shape):
     """Inverse of :func:`rfftn` (1/N-normalized, real output).  f32 3-D
     spectra are DC-split like :func:`rfftn` (the k=0 coefficient is
     carried around the backend transform as an exact uniform shift)."""
+    if _PENCIL_AXIS is not None:
+        if X.ndim != 3:
+            raise NotImplementedError(
+                "pencil mode transforms 3-D fields only — ladder-based "
+                "terms have no distributed implementation")
+        from ..parallel import pfft
+        return pfft.pirfftn_dc(X, shape, _PENCIL_AXIS)
     if isinstance(X, Spectrum):
         from . import tpufft
         return tpufft.irfftn_pair(X.re, X.im, shape)

@@ -40,9 +40,10 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.grid import inv3x3, _freq_indices
 
-__all__ = ["prfftn", "pirfftn", "pwavevecs", "pconv", "make_penergy",
-           "pmean", "pqmean", "pwmean", "penergy_wt_pbe",
-           "pvalue_and_potential_wt_pbe",
+__all__ = ["prfftn", "pirfftn", "prfftn_dc", "pirfftn_dc", "pwavevecs",
+           "pconv", "make_penergy", "pmean", "pqmean", "pwmean",
+           "penergy_wt_pbe", "pvalue_and_potential_wt_pbe",
+           "penergy_terms", "pchi_value_and_grad_terms",
            "pchi_value_and_grad", "pencil_tpgd_minimize"]
 
 
@@ -69,6 +70,35 @@ def pirfftn(X_local, shape, axis_name="grid"):
     X = lax.all_to_all(X, axis_name, split_axis=0, concat_axis=1, tiled=True)
     X = jnp.fft.ifft(X, axis=1)
     return jnp.fft.irfft(X, shape[2], axis=2)
+
+
+def prfftn_dc(x_local, axis_name="grid"):
+    """:func:`prfftn` with the f32 DC-split of ``ops.grid.rfftn`` (the
+    global mean is carried around the backend transform exactly; see the
+    serial docstring for the measured TPU DC-leak this removes).  The k=0
+    coefficient lives on the axis-index-0 pencil only.  f64 passes
+    through plain :func:`prfftn`."""
+    if x_local.dtype != jnp.float32:
+        return prfftn(x_local, axis_name)
+    xm = pmean(x_local, axis_name)
+    n_glob = x_local.size * lax.axis_size(axis_name)
+    X = prfftn(x_local - xm, axis_name)
+    own_dc = (lax.axis_index(axis_name) == 0).astype(X.real.dtype)
+    return X.at[0, 0, 0].add(lax.complex(own_dc * xm * n_glob,
+                                         jnp.zeros((), X.real.dtype)))
+
+
+def pirfftn_dc(X_local, shape, axis_name="grid"):
+    """Inverse of :func:`prfftn_dc` (DC carried as an exact uniform
+    shift for complex64 spectra; others pass through)."""
+    if X_local.dtype != jnp.complex64:
+        return pirfftn(X_local, shape, axis_name)
+    own = (lax.axis_index(axis_name) == 0).astype(X_local.real.dtype)
+    dc = lax.psum(own * X_local[0, 0, 0].real, axis_name)
+    X0 = X_local.at[0, 0, 0].multiply(1.0 - own)
+    y = pirfftn(X0, shape, axis_name)
+    n_glob = y.size * lax.axis_size(axis_name)
+    return y + dc / n_glob
 
 
 def pwavevecs(box_vecs, shape, axis_name="grid"):
@@ -393,10 +423,83 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
     return E, dEdchi.reshape(-1)
 
 
+def penergy_terms(terms, box_vecs, den_local, v_ext_local,
+                  axis_name="grid"):
+    """GENERIC distributed energy: evaluates the SERIAL term bodies inside
+    shard_map under ``ops.grid.pencil_mode`` (call INSIDE shard_map).
+
+    The serial functionals in ``models/`` are written against the core
+    spectral primitives (rfftn/irfftn/wavevecs/qmean/wmean); the pencil
+    context redirects those to this module's SPMD implementations, so ANY
+    fixed-kernel term — the whole WT family, WGC99's Taylor kernels,
+    FoleyMadden's 11 convolutions, KGAP, XWM, every semi-local/GGA term —
+    runs distributed with automatic parity to its serial form (same body,
+    same floating-point recipe).  Ladder-based terms (Huang-Carter family,
+    spline YukawaGGA, MGP) raise ``NotImplementedError`` at trace time —
+    their batched 4-D transform has no pencil implementation.
+
+    Mirrors ``System._density_terms_energy``'s dispatch (IonIon excluded,
+    IonElectron takes the external-potential slab).
+    """
+    from ..ops.grid import pencil_mode
+
+    for f in terms:
+        owner = getattr(f, "__self__", f)
+        if callable(getattr(owner, "prepare", None)):
+            raise NotImplementedError(
+                f"term {getattr(type(owner), '__name__', owner)} uses the "
+                "per-cell kernel-ladder protocol; the pencil path has no "
+                "batched 4-D transform — use the serial/GSPMD path.")
+    E = jnp.zeros((), dtype=den_local.dtype)
+    with pencil_mode(axis_name):
+        for f in terms:
+            nm = getattr(f, "__name__", type(f).__name__)
+            if nm == "IonIon":
+                continue
+            if nm == "IonElectron":
+                E = E + f(box_vecs, den_local, v_ext_local)
+            else:
+                E = E + f(box_vecs, den_local)
+    return E
+
+
+def pchi_value_and_grad_terms(terms, chi_local_flat, box_vecs, v_ext_local,
+                              N_elec, shape, axis_name="grid"):
+    """Distributed chi-parameterized (E, dE/dchi) for an ARBITRARY
+    fixed-kernel term list via reverse-mode autodiff of
+    :func:`penergy_terms` (call INSIDE shard_map).  The psum'd scalar is
+    replicated, so per-device ``jax.value_and_grad`` of the local-shard
+    energy IS the global gradient shard."""
+    n_dev = lax.axis_size(axis_name)
+    local_shape = (shape[0] // n_dev, shape[1], shape[2])
+
+    def chi_to_E(chi_flat):
+        chi = chi_flat.reshape(local_shape)
+        vol = jnp.abs(jnp.linalg.det(box_vecs))
+        N_tilde = pwmean(chi * chi, axis_name) * vol
+        den = (N_elec / N_tilde) * chi * chi
+        if chi.dtype == jnp.float32:
+            c = 1e-10 * N_elec / vol
+            den = (den + c) * (N_elec / (N_elec + c * vol))
+        return penergy_terms(terms, box_vecs, den, v_ext_local, axis_name)
+
+    E, g = jax.value_and_grad(chi_to_E)(chi_local_flat)
+    # Differentiating a replicated (psum'd) scalar INSIDE shard_map: the
+    # terminal psum transposes to a psum of the replicated unit cotangent,
+    # so the per-device gradient carries one uniform factor of the axis
+    # size (intermediate psums — pwmean's N_tilde — act as the correct
+    # global combiners for device-varying cotangents and add no further
+    # factor).  Normalize here; the parity test
+    # (tests/test_parallel_generic.py::test_generic_pencil_chi_gradient_parity)
+    # pins this against the serial gradient at 1e-11, so any change in
+    # JAX's psum-transpose semantics is caught immediately.
+    return E, g / n_dev
+
+
 def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                          M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
                          max_iter=1000, skip_iters=2, f_scale=27.211386245988,
-                         axis_name="grid", method="TPGD"):
+                         axis_name="grid", method="TPGD", terms=None):
     """Whole distributed density optimization as ONE SPMD program.
 
     The full production solver — exact-preconditioned TPGD with the dE
@@ -410,6 +513,13 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
     uniform-density preconditioner diagonal (half-spectrum, global — it is
     sharded along k-axis 1 automatically).  Returns (state, iters,
     converged) with state.x sharded like ``chi0``.
+
+    ``terms=None`` uses the hand-fused analytic WT+PBE gradient
+    (:func:`pchi_value_and_grad`, fewest transforms — the production
+    fcc-Al path); passing a term list instead drives the GENERIC
+    autodiff gradient (:func:`pchi_value_and_grad_terms`), distributing
+    any fixed-kernel functional set via the serial bodies under
+    ``pencil_mode``.
     """
     from jax.sharding import NamedSharding
     from ..ops import solvers
@@ -428,8 +538,12 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
         n_dev = lax.axis_size(axis_name)
         local_shape = (shape[0] // n_dev, shape[1], shape[2])
 
-        vg = lambda x: pchi_value_and_grad(x, box, vext_local, N_elec,
-                                           shape, axis_name)
+        if terms is None:
+            vg = lambda x: pchi_value_and_grad(x, box, vext_local, N_elec,
+                                               shape, axis_name)
+        else:
+            vg = lambda x: pchi_value_and_grad_terms(
+                terms, x, box, vext_local, N_elec, shape, axis_name)
 
         def aH0(q):
             X = prfftn(q.reshape(local_shape), axis_name)

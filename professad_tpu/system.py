@@ -860,21 +860,39 @@ class System:
                 raise ValueError("mesh= requires jit_loop=True")
             if "grid" not in mesh.axis_names:
                 raise ValueError('mesh must have a "grid" axis')
-            if analytic and n_method == "TPGD":
+            if n_method in ("TPGD", "LBFGS") and not self._has_prepare_terms():
                 # PRODUCTION distributed path: hand-written pencil FFTs +
-                # fused analytic potentials + psum'd BB solver under
-                # shard_map (parallel/pfft.py) — the only collectives are
-                # all_to_all transposes and psum scalars; nothing is ever
-                # gathered.  (The GSPMD fallback below is correct but
-                # all-gathers the grid per FFT: the auto-partitioner
-                # cannot partition FFT ops.)
+                # psum'd solver under shard_map (parallel/pfft.py) — the
+                # only collectives are all_to_all transposes and psum
+                # scalars; nothing is ever gathered.  (The GSPMD fallback
+                # below is correct but all-gathers the grid per FFT: the
+                # auto-partitioner cannot partition FFT ops.)
+                # Gradients: analytic=True uses the hand-fused WT+PBE
+                # sweep (fewest transforms; requires that exact term set);
+                # otherwise the SERIAL term bodies run distributed under
+                # ops.grid.pencil_mode (generic autodiff gradient — any
+                # fixed-kernel functional set).  Ladder-based terms
+                # (prepare() protocol) fall through to the GSPMD path.
+                if analytic:
+                    names = {_term_name(f) for f in self._terms}
+                    wt_pbe = {"IonElectron", "Hartree", "WangTeter",
+                              "PerdewBurkeErnzerhof"}
+                    if not (names - {"IonIon"} == wt_pbe):
+                        raise ValueError(
+                            "mesh= with analytic=True runs the hand-fused "
+                            "WT+PBE distributed gradient and requires "
+                            "exactly the IonElectron+Hartree+WangTeter+PBE "
+                            f"term set (got {sorted(names)}); use "
+                            "analytic=False for the generic distributed "
+                            "path.")
                 from .parallel.pfft import pencil_tpgd_minimize
                 M = self._precond_kernel(self._box_vecs, self._N_elec)
                 state, n_it, conv = pencil_tpgd_minimize(
                     mesh, self._shape, self._box_vecs, self._v_ext,
                     self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
                     conv_count=n_conv_cond_count, max_iter=round(n_maxiter),
-                    skip_iters=skip_iters)
+                    skip_iters=skip_iters, method=n_method,
+                    terms=None if analytic else self._terms)
                 self._set_den_from_chi(jnp.asarray(state.x))
                 self._ene = self._compute_energy(
                     use_ion_cache=self._Eion_cache is not None)

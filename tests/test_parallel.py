@@ -82,8 +82,12 @@ def _fcc_al(shape):
 
 def test_mesh_aware_optimize_density_matches_single_device():
     """System.optimize_density(mesh=...) runs the FULL whole-program
-    optimization (lax.while_loop L-BFGS) grid-sharded over 8 devices and
-    lands on the single-device density/energy to f64 precision."""
+    optimization grid-sharded over 8 devices and lands on the
+    single-device energy.  The L-BFGS route now takes the PENCIL generic
+    path (its own SPMD trajectory, not a replicated copy of the serial
+    program), so the bound is the |dE| stopping rule's landing scatter —
+    gradient parity itself is pinned at 1e-12 in
+    test_parallel_generic.py."""
     s_ref = _fcc_al((16, 16, 16))
     s_ref.optimize_density(ntol=1e-9, jit_loop=True, precondition=True)
     E_ref = s_ref.energy("eV")
@@ -92,9 +96,11 @@ def test_mesh_aware_optimize_density_matches_single_device():
     s_sh = _fcc_al((16, 16, 16))
     s_sh.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
                           mesh=mesh)
-    assert abs(s_sh.energy("eV") - E_ref) < 1e-9
+    assert abs(s_sh.energy("eV") - E_ref) < 1e-7
+    # density landing scatter: a 2e-7 density difference costs ~2e-9 eV
+    # through the quadratic curvature — both optima, different trajectories
     assert np.allclose(np.asarray(s_sh.density()),
-                       np.asarray(s_ref.density()), atol=1e-10)
+                       np.asarray(s_ref.density()), atol=1e-6)
 
     # the TPGD fast path shards the same way
     s_t = _fcc_al((16, 16, 16))
