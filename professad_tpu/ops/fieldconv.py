@@ -68,6 +68,12 @@ def field_dependent_convolution(k, f_tilde, g, xis, kappa=None, mode="arithmetic
 
     Parity: functional_tools.py:381-423.
     """
+    from . import grid as _grid
+    if _grid._PENCIL_AXIS is not None:
+        raise NotImplementedError(
+            "field_dependent_convolution's batched 4-D transform has no "
+            "pencil (distributed) implementation — ladder-based terms "
+            "cannot run under ops.grid.pencil_mode")
     if xi_sparse is None:
         xi_sparse = xi_ladder(jnp.min(xis), jnp.max(xis), kappa, mode)
     xi_sparse = jnp.asarray(xi_sparse, dtype=g.dtype)
@@ -96,6 +102,12 @@ def field_dependent_convolution_naive(k, f_tilde, g, xis, batch=512):
     Intended as the library-level cross-check oracle for the spline method
     (VERDICT round 2, missing item 4); use on coarse grids only.
     """
+    from . import grid as _grid
+    if _grid._PENCIL_AXIS is not None:
+        raise NotImplementedError(
+            "field_dependent_convolution_naive has no pencil (distributed) "
+            "implementation — ladder-based terms cannot run under "
+            "ops.grid.pencil_mode")
     shape = g.shape
     n0, n1, n2 = shape
     m2 = n2 // 2 + 1
