@@ -70,10 +70,24 @@ def field_dependent_convolution(k, f_tilde, g, xis, kappa=None, mode="arithmetic
     """
     from . import grid as _grid
     if _grid._PENCIL_AXIS is not None:
-        raise NotImplementedError(
-            "field_dependent_convolution's batched 4-D transform has no "
-            "pencil (distributed) implementation — ladder-based terms "
-            "cannot run under ops.grid.pencil_mode")
+        # pencil (distributed) form: the ladder axis TRAILS the grid axes,
+        # and parallel.pfft's transforms operate on axes 0-2 explicitly, so
+        # the whole ladder rides ONE batched all_to_all transpose.  The
+        # caller's k/xis arguments were themselves built under pencil_mode
+        # (local k-slab / local xi slab), so everything lines up.  A
+        # precomputed static ladder is required — the data-dependent sizing
+        # would need a global min/max at trace time.
+        if xi_sparse is None:
+            raise NotImplementedError(
+                "field_dependent_convolution under ops.grid.pencil_mode "
+                "needs a precomputed static xi ladder (call the term's "
+                "prepare() first)")
+        from ..parallel import pfft
+        ax = _grid._PENCIL_AXIS
+        xi_sparse = jnp.asarray(xi_sparse, dtype=g.dtype)
+        g_tilde = pfft.prfftn(g, ax)[..., None]
+        conv = pfft.pirfftn(f_tilde(k, xi_sparse) * g_tilde, g.shape, ax)
+        return interpolate_kernel(xi_sparse, conv, xis)
     if xi_sparse is None:
         xi_sparse = xi_ladder(jnp.min(xis), jnp.max(xis), kappa, mode)
     xi_sparse = jnp.asarray(xi_sparse, dtype=g.dtype)

@@ -435,21 +435,17 @@ def penergy_terms(terms, box_vecs, den_local, v_ext_local,
     FoleyMadden's 11 convolutions, KGAP, XWM, every semi-local/GGA term —
     runs distributed with automatic parity to its serial form (same body,
     same floating-point recipe).  Ladder-based terms (Huang-Carter family,
-    spline YukawaGGA, MGP) raise ``NotImplementedError`` at trace time —
-    their batched 4-D transform has no pencil implementation.
+    spline YukawaGGA, MGP) work too — the field-dependent convolution's
+    trailing ladder axis rides one batched all_to_all — provided their
+    ``prepare()`` has been called (static ladder; the terms raise their
+    own RuntimeError otherwise).  Only the naive O(N^2) Yukawa oracle has
+    no distributed form.
 
     Mirrors ``System._density_terms_energy``'s dispatch (IonIon excluded,
     IonElectron takes the external-potential slab).
     """
     from ..ops.grid import pencil_mode
 
-    for f in terms:
-        owner = getattr(f, "__self__", f)
-        if callable(getattr(owner, "prepare", None)):
-            raise NotImplementedError(
-                f"term {getattr(type(owner), '__name__', owner)} uses the "
-                "per-cell kernel-ladder protocol; the pencil path has no "
-                "batched 4-D transform — use the serial/GSPMD path.")
     E = jnp.zeros((), dtype=den_local.dtype)
     with pencil_mode(axis_name):
         for f in terms:

@@ -860,7 +860,7 @@ class System:
                 raise ValueError("mesh= requires jit_loop=True")
             if "grid" not in mesh.axis_names:
                 raise ValueError('mesh must have a "grid" axis')
-            if n_method in ("TPGD", "LBFGS") and not self._has_prepare_terms():
+            if n_method in ("TPGD", "LBFGS"):
                 # PRODUCTION distributed path: hand-written pencil FFTs +
                 # psum'd solver under shard_map (parallel/pfft.py) — the
                 # only collectives are all_to_all transposes and psum
@@ -871,8 +871,8 @@ class System:
                 # sweep (fewest transforms; requires that exact term set);
                 # otherwise the SERIAL term bodies run distributed under
                 # ops.grid.pencil_mode (generic autodiff gradient — any
-                # fixed-kernel functional set).  Ladder-based terms
-                # (prepare() protocol) fall through to the GSPMD path.
+                # functional set; ladder terms were prepared above and
+                # their 4-D convolution rides one batched all_to_all).
                 if analytic:
                     names = {_term_name(f) for f in self._terms}
                     wt_pbe = {"IonElectron", "Hartree", "WangTeter",

@@ -121,21 +121,64 @@ def test_generic_pencil_chi_gradient_parity():
     assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-11
 
 
-def test_generic_pencil_ladder_terms_raise():
-    """Ladder-based terms (prepare() protocol) are rejected with a clear
-    error rather than silently transforming 4-D fields locally."""
+def test_generic_pencil_ladder_terms_parity():
+    """Ladder-based terms distribute too: the field-dependent
+    convolution's trailing ladder axis rides one batched all_to_all, so a
+    PREPARED Huang-Carter / MGP / spline-Yukawa term set matches its
+    serial energy and gradient at f64 machine precision."""
+    from professad_tpu.models import MiGenovaPavanello, YukawaGGA
+
+    mesh = _mesh8()
+    shape = (16, 16, 16)
+    den, vext = _fields(shape, seed=7)
+    box = jnp.asarray(7.7 * np.eye(3))
+
+    hc = HuangCarter((0.01177, 0.7143, 1.2))
+    mgp = MiGenovaPavanello((0.2, 0.1))
+    yk = YukawaGGA()
+    yk.set_yuk2()
+    for t in (hc, mgp, yk):
+        t.prepare(box, den)
+
+    for name, terms in (
+            ("HC", [IonElectron, Hartree, hc, PerdewBurkeErnzerhof]),
+            ("MGP", [IonElectron, Hartree, mgp, PerdewZunger]),
+            ("Yukawa", [IonElectron, Hartree, yk, lda_exchange])):
+        fn = shard_map(
+            lambda b, d, v, _t=terms: penergy_terms(_t, b, d, v), mesh=mesh,
+            in_specs=(P(), P("grid", None, None), P("grid", None, None)),
+            out_specs=P(), check_vma=False)
+
+        def e_ser(b, d, v, _t=terms):
+            E = jnp.zeros((), d.dtype)
+            for f in _t:
+                nm = getattr(f, "__name__", type(f).__name__)
+                E = E + (f(b, d, v) if nm == "IonElectron" else f(b, d))
+            return E
+
+        E_d = float(jax.jit(fn)(box, den, vext))
+        E_s = float(e_ser(box, den, vext))
+        assert abs(E_d - E_s) / abs(E_s) < 1e-12, (name, E_d, E_s)
+        gd = np.asarray(jax.jit(jax.grad(fn, argnums=1))(box, den, vext))
+        gs = np.asarray(jax.grad(e_ser, argnums=1)(box, den, vext))
+        assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-12, name
+
+
+def test_generic_pencil_unprepared_ladder_raises():
+    """An UNPREPARED ladder term under pencil mode raises (static ladder
+    required) instead of silently transforming 4-D fields locally."""
     mesh = _mesh8()
     shape = (16, 16, 16)
     den, vext = _fields(shape, seed=1)
     box = jnp.asarray(7.7 * np.eye(3))
-    hc = HuangCarter((0.01177, 0.7143, 1.2))
+    hc = HuangCarter((0.01177, 0.7143, 1.2))  # no prepare()
     terms = [IonElectron, Hartree, hc, PerdewBurkeErnzerhof]
 
     fn = shard_map(
         lambda b, d, v: penergy_terms(terms, b, d, v), mesh=mesh,
         in_specs=(P(), P("grid", None, None), P("grid", None, None)),
         out_specs=P(), check_vma=False)
-    with pytest.raises(NotImplementedError, match="ladder"):
+    with pytest.raises((RuntimeError, NotImplementedError), match="prepare"):
         jax.jit(fn)(box, den, vext)
 
 
