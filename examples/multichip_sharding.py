@@ -89,3 +89,19 @@ sys_.optimize_density(ntol=1e-8, jit_loop=True, n_method="TPGD",
                       mesh=mesh, analytic=True)
 print(f"System-level distributed optimize_density (pencil FFT): "
       f"E = {sys_.energy('eV'):.6f} eV")
+
+# ---- generic distributed functionals ----------------------------------------
+# Any functional set distributes: under ops.grid.pencil_mode the SERIAL
+# term bodies run inside shard_map (rfftn/irfftn/wavevecs/means redirect
+# to pencil implementations), so analytic=False routes arbitrary term
+# sets — including prepared ladder terms (HC family) — through the same
+# zero-gather pencil solver.
+from professad_tpu.models import vWGTF1
+sys_g = System(box_A, (n0, 16, 16), [["Al", POT, frac]],
+               [IonIon, IonElectron, Hartree, vWGTF1,
+                PerdewBurkeErnzerhof], units="a", coord_type="fractional")
+sys_g.optimize_density(ntol=1e-8, jit_loop=True, n_method="TPGD",
+                       n_step_size=1.0, precondition=True, skip_iters=2,
+                       mesh=mesh, analytic=False)
+print(f"System-level distributed optimize_density (generic, vWGTF1+PBE): "
+      f"E = {sys_g.energy('eV'):.6f} eV")
