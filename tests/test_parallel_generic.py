@@ -89,6 +89,38 @@ def test_generic_pencil_energy_and_grad_parity(name, terms):
     assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-12
 
 
+def test_generic_pencil_stress_path_parity():
+    """The cell gradient (stress path, fixed-N density rescale) of the
+    generic distributed energy matches the serial one — wavevecs' pencil
+    slabs stay differentiable w.r.t. the cell."""
+    mesh = _mesh8()
+    shape = (24, 24, 24)
+    den, vext = _fields(shape, seed=11)
+    box = jnp.asarray(7.7 * np.eye(3) + 0.1 * np.arange(9).reshape(3, 3)
+                      / 9.0)
+    terms = [IonElectron, Hartree, vWGTF1, PerdewBurkeErnzerhof]
+
+    e_dist = shard_map(
+        lambda b, d, v: penergy_terms(terms, b, d, v), mesh=mesh,
+        in_specs=(P(), P("grid", None, None), P("grid", None, None)),
+        out_specs=P(), check_vma=False)
+
+    def e_ser(b, d, v):
+        return (IonElectron(b, d, v) + Hartree(b, d) + vWGTF1(b, d)
+                + PerdewBurkeErnzerhof(b, d))
+
+    vol0 = float(jnp.abs(jnp.linalg.det(box)))
+
+    def cell_grad(e):
+        def Eb(b):
+            d = den * vol0 / jnp.abs(jnp.linalg.det(b))
+            return e(b, d, vext)
+        return np.asarray(jax.jit(jax.grad(Eb))(box))
+
+    sd, ss = cell_grad(e_dist), cell_grad(e_ser)
+    assert np.max(np.abs(sd - ss)) / np.max(np.abs(ss)) < 1e-12
+
+
 def test_generic_pencil_chi_gradient_parity():
     """The distributed chi-parameterized (E, dE/dchi) for a non-WT term set
     matches the serial System._chi_energy autodiff gradient."""
