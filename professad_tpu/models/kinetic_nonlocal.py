@@ -614,10 +614,10 @@ class _HuangCarterBase(KineticFunctional):
         g = powr(den, params["beta"])
 
         if aux is not None:
+            from ..ops.fieldconv import ladder_convolution
             lad = aux["ladder"].astype(den.dtype)
             W = aux["slabs"].astype(den.dtype)
-            g_tilde = rfftn(g)[..., None]
-            conv = jnp.fft.irfftn(W * g_tilde, s=den.shape, axes=(0, 1, 2))
+            conv = ladder_convolution(W, g, den.shape)
             K = interpolate_kernel(lad, conv, xis)
         else:
             eta_1D, w_1D = self.kernel

@@ -24,7 +24,22 @@ from .interp import interpolate_kernel
 from .grid import _freq_indices
 
 __all__ = ["xi_ladder", "field_dependent_convolution",
-           "field_dependent_convolution_naive"]
+           "field_dependent_convolution_naive", "ladder_convolution"]
+
+
+def ladder_convolution(W, g, shape):
+    """irfftn(W * rfftn(g)[..., None]) over the grid axes — the hoisted-
+    kernel-slab form of the field-dependent convolution (W: precomputed
+    (m1, m2, m3, L) slab stack from a term's aux protocol).  Pencil-aware:
+    under ``ops.grid.pencil_mode`` the slab stack is the axis-1 k-pencil
+    shard and the ladder axis rides the batched all_to_all."""
+    from . import grid as _grid
+    if _grid._PENCIL_AXIS is not None:
+        from ..parallel import pfft
+        ax = _grid._PENCIL_AXIS
+        return pfft.pirfftn(W * pfft.prfftn(g, ax)[..., None], g.shape, ax)
+    return jnp.fft.irfftn(W * jnp.fft.rfftn(g)[..., None], s=shape,
+                          axes=(0, 1, 2))
 
 
 def xi_ladder(xi_min, xi_max, kappa, mode="arithmetic"):

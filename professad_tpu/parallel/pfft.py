@@ -424,7 +424,7 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
 
 
 def penergy_terms(terms, box_vecs, den_local, v_ext_local,
-                  axis_name="grid"):
+                  axis_name="grid", aux=None):
     """GENERIC distributed energy: evaluates the SERIAL term bodies inside
     shard_map under ``ops.grid.pencil_mode`` (call INSIDE shard_map).
 
@@ -442,25 +442,46 @@ def penergy_terms(terms, box_vecs, den_local, v_ext_local,
     no distributed form.
 
     Mirrors ``System._density_terms_energy``'s dispatch (IonIon excluded,
-    IonElectron takes the external-potential slab).
+    IonElectron takes the external-potential slab), including the
+    term-aux protocol: ``aux`` is the ``System._collect_term_aux`` list
+    whose k-space arrays must be SHARDED to the axis-1 k-pencil (see
+    :func:`aux_pencil_specs`) — the hoisted HC kernel slabs then ride the
+    distributed path exactly like the serial jitted optimizer.
     """
     from ..ops.grid import pencil_mode
 
     E = jnp.zeros((), dtype=den_local.dtype)
     with pencil_mode(axis_name):
-        for f in terms:
+        for i, f in enumerate(terms):
             nm = getattr(f, "__name__", type(f).__name__)
-            if nm == "IonIon":
+            a = aux[i] if aux is not None else None
+            if a is not None:
+                owner = getattr(f, "__self__", f)
+                E = E + owner.apply_aux(a, box_vecs, den_local)
+            elif nm == "IonIon":
                 continue
-            if nm == "IonElectron":
+            elif nm == "IonElectron":
                 E = E + f(box_vecs, den_local, v_ext_local)
             else:
                 E = E + f(box_vecs, den_local)
     return E
 
 
+def aux_pencil_specs(aux, axis_name="grid"):
+    """PartitionSpecs sharding a term-aux pytree to the pencil k-layout:
+    arrays with >= 3 dims are half-spectrum-shaped (n0, n1, m2[, L]) and
+    shard along axis 1 (the k-pencil axis); small tables/ladders
+    replicate."""
+    def spec(a):
+        nd = jnp.ndim(a)
+        if nd >= 3:
+            return P(*((None, axis_name) + (None,) * (nd - 2)))
+        return P()
+    return jax.tree_util.tree_map(spec, aux)
+
+
 def pchi_value_and_grad_terms(terms, chi_local_flat, box_vecs, v_ext_local,
-                              N_elec, shape, axis_name="grid"):
+                              N_elec, shape, axis_name="grid", aux=None):
     """Distributed chi-parameterized (E, dE/dchi) for an ARBITRARY
     fixed-kernel term list via reverse-mode autodiff of
     :func:`penergy_terms` (call INSIDE shard_map).  The psum'd scalar is
@@ -477,7 +498,8 @@ def pchi_value_and_grad_terms(terms, chi_local_flat, box_vecs, v_ext_local,
         if chi.dtype == jnp.float32:
             c = 1e-10 * N_elec / vol
             den = (den + c) * (N_elec / (N_elec + c * vol))
-        return penergy_terms(terms, box_vecs, den, v_ext_local, axis_name)
+        return penergy_terms(terms, box_vecs, den, v_ext_local, axis_name,
+                             aux=aux)
 
     E, g = jax.value_and_grad(chi_to_E)(chi_local_flat)
     # Differentiating a replicated (psum'd) scalar INSIDE shard_map: the
@@ -495,7 +517,8 @@ def pchi_value_and_grad_terms(terms, chi_local_flat, box_vecs, v_ext_local,
 def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                          M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
                          max_iter=1000, skip_iters=2, f_scale=27.211386245988,
-                         axis_name="grid", method="TPGD", terms=None):
+                         axis_name="grid", method="TPGD", terms=None,
+                         aux=None):
     """Whole distributed density optimization as ONE SPMD program.
 
     The full production solver — exact-preconditioned TPGD with the dE
@@ -530,7 +553,7 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
     P_ = P
     flat = P_(axis_name)
 
-    def body(chi_local, box, vext_local, M_slab):
+    def body(chi_local, box, vext_local, M_slab, aux_local):
         n_dev = lax.axis_size(axis_name)
         local_shape = (shape[0] // n_dev, shape[1], shape[2])
 
@@ -539,7 +562,8 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                                                shape, axis_name)
         else:
             vg = lambda x: pchi_value_and_grad_terms(
-                terms, x, box, vext_local, N_elec, shape, axis_name)
+                terms, x, box, vext_local, N_elec, shape, axis_name,
+                aux=aux_local)
 
         def aH0(q):
             X = prfftn(q.reshape(local_shape), axis_name)
@@ -569,10 +593,11 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
         st_specs = solvers.TPGDState(x=flat, f=P_(), g=flat,
                                      g_prev=flat, Mg_prev=flat, s_prev=flat,
                                      n_iter=P_())
+    aux_specs = aux_pencil_specs(aux, axis_name)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(flat, P_(), P_(axis_name, None, None),
-                  P_(None, axis_name, None)),
+                  P_(None, axis_name, None), aux_specs),
         out_specs=(st_specs, P_(), P_()), check_vma=False)
 
     chi0 = jax.device_put(chi0, NamedSharding(mesh, flat))
@@ -580,4 +605,7 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                                                          None)))
     M_kernel = jax.device_put(M_kernel,
                               NamedSharding(mesh, P_(None, axis_name, None)))
-    return jax.jit(fn)(chi0, box_vecs, v_ext, M_kernel)
+    aux = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), aux,
+        aux_specs)
+    return jax.jit(fn)(chi0, box_vecs, v_ext, M_kernel, aux)

@@ -892,7 +892,8 @@ class System:
                     self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
                     conv_count=n_conv_cond_count, max_iter=round(n_maxiter),
                     skip_iters=skip_iters, method=n_method,
-                    terms=None if analytic else self._terms)
+                    terms=None if analytic else self._terms,
+                    aux=None if analytic else aux)
                 self._set_den_from_chi(jnp.asarray(state.x))
                 self._ene = self._compute_energy(
                     use_ion_cache=self._Eion_cache is not None)

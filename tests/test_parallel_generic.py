@@ -195,6 +195,30 @@ def test_generic_pencil_ladder_terms_parity():
         gs = np.asarray(jax.grad(e_ser, argnums=1)(box, den, vext))
         assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-12, name
 
+    # the HOISTED form: HC's kernel slabs threaded as sharded aux arrays
+    # (the serial jitted optimizer's 48x hoist, distributed)
+    from professad_tpu.parallel.pfft import aux_pencil_specs
+    terms = [IonElectron, Hartree, hc, PerdewBurkeErnzerhof]
+    aux = [None, None, hc.aux_arrays(), None]
+    assert aux[2] is not None
+    fn_aux = shard_map(
+        lambda b, d, v, a: penergy_terms(terms, b, d, v, aux=a), mesh=mesh,
+        in_specs=(P(), P("grid", None, None), P("grid", None, None),
+                  aux_pencil_specs(aux)),
+        out_specs=P(), check_vma=False)
+    E_aux = float(jax.jit(fn_aux)(box, den, vext, aux))
+    E_ser_aux = float(IonElectron(box, den, vext) + Hartree(box, den)
+                      + hc.apply_aux(aux[2], box, den)
+                      + PerdewBurkeErnzerhof(box, den))
+    assert abs(E_aux - E_ser_aux) / abs(E_ser_aux) < 1e-12
+    g_aux = np.asarray(jax.jit(jax.grad(fn_aux, argnums=1))(
+        box, den, vext, aux))
+    g_ser = np.asarray(jax.grad(
+        lambda b, d, v: IonElectron(b, d, v) + Hartree(b, d)
+        + hc.apply_aux(aux[2], b, d) + PerdewBurkeErnzerhof(b, d),
+        argnums=1)(box, den, vext))
+    assert np.max(np.abs(g_aux - g_ser)) / np.max(np.abs(g_ser)) < 1e-12
+
 
 def test_generic_pencil_unprepared_ladder_raises():
     """An UNPREPARED ladder term under pencil mode raises (static ladder
