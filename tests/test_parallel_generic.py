@@ -304,6 +304,48 @@ def test_generic_pencil_hc_whole_optimization_matches_serial():
     assert abs(s_par.energy("eV") - E_ser) < 1e-8
 
 
+def test_generic_pencil_f32_tier_parity():
+    """The f32 fast-tier numerics carry over to the pencil path: the
+    DC-split distributed transforms (prfftn_dc/pirfftn_dc) round-trip a
+    uniform field exactly (the serial f32 DC-leak guarantee), and the
+    generic distributed f32 energy matches the serial f32 energy to f32
+    roundoff."""
+    from professad_tpu.parallel.pfft import prfftn_dc, pirfftn_dc
+    from professad_tpu.models import WangTeter
+
+    mesh = _mesh8()
+    shape = (24, 24, 24)
+
+    # exact uniform-field round trip (per-shard body)
+    u = jnp.full(shape, 0.031415927, jnp.float32)
+    rt = shard_map(
+        lambda x: pirfftn_dc(prfftn_dc(x), shape), mesh=mesh,
+        in_specs=(P("grid", None, None),), out_specs=P("grid", None, None),
+        check_vma=False)
+    out = np.asarray(jax.jit(rt)(u))
+    assert np.all(out == np.float32(0.031415927)), "pencil DC-split not exact"
+
+    # f32 generic energy parity vs the serial f32 fast tier
+    den64, vext64 = _fields(shape, seed=13)
+    den = den64.astype(jnp.float32)
+    vext = vext64.astype(jnp.float32)
+    box = jnp.asarray(7.7 * np.eye(3), jnp.float32)
+    terms = [IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+
+    fn = shard_map(
+        lambda b, d, v: penergy_terms(terms, b, d, v), mesh=mesh,
+        in_specs=(P(), P("grid", None, None), P("grid", None, None)),
+        out_specs=P(), check_vma=False)
+    E_d = float(jax.jit(fn)(box, den, vext))
+
+    E_s = float(IonElectron(box, den, vext) + Hartree(box, den)
+                + WangTeter(box, den) + PerdewBurkeErnzerhof(box, den))
+    # both sides accumulate in pqmean/qmean f64; the residual difference
+    # is the f32 transform noise of different (but equivalent) FFT plans
+    # (measured 1.1e-6 relative on the 8-device CPU mesh)
+    assert abs(E_d - E_s) / abs(E_s) < 5e-6, (E_d, E_s)
+
+
 def test_mesh_analytic_requires_wt_pbe_terms():
     """mesh= with analytic=True runs the hand-fused WT+PBE gradient; any
     other term set must raise, not silently compute WT+PBE."""
