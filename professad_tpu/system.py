@@ -831,6 +831,16 @@ class System:
         iteration at 128^3 on TPU).  Equal to the autodiff gradient at
         rtol 1e-10 in f64 (tests/test_potentials.py); requires every term
         to have a fused form (raises otherwise).
+
+        ``mesh=`` (jit_loop only, new vs the reference) runs the whole
+        optimization distributed over the mesh's "grid" axis through the
+        pencil-FFT SPMD solver (parallel/pfft.py, zero all-gathers):
+        ``analytic=True`` selects the hand-fused WT+PBE gradient (that
+        exact term set, validated), ``analytic=False`` the GENERIC
+        gradient — the serial term bodies traced under
+        ``ops.grid.pencil_mode``, supporting every functional incl. the
+        prepared ladder terms with their kernel hoists threaded as
+        sharded aux arguments (tests/test_parallel_generic.py).
         """
         if from_uniform:
             self.initialize_density()
