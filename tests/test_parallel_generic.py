@@ -270,6 +270,40 @@ def test_generic_pencil_whole_optimization_matches_serial():
     assert abs(E_par - E_ser) < 5e-8, (E_par, E_ser)
 
 
+def test_generic_pencil_lbfgs_matches_serial():
+    """Distributed L-BFGS (psum'd two-loop) with the GENERIC gradient —
+    a non-WT+PBE term set through optimize_density(mesh=...,
+    n_method='LBFGS') lands on the serial ground state (measured 1.4e-10
+    eV agreement)."""
+    import os
+    from professad_tpu.system import System
+    from professad_tpu.models import IonIon
+
+    pot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "potentials", "al.gga.recpot")
+    box_vecs = 4.050 * jnp.eye(3)
+    frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                        [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+
+    def build():
+        return System(box_vecs, (16, 16, 16), [["Al", pot, frac]],
+                      [IonIon, IonElectron, Hartree, vWGTF1,
+                       PerdewBurkeErnzerhof],
+                      units="a", coord_type="fractional")
+
+    s_ser = build()
+    s_ser.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                           n_method="LBFGS", n_step_size=1.0, block=1,
+                           skip_iters=2)
+    E_ser = s_ser.energy("eV")
+
+    s_par = build()
+    s_par.optimize_density(ntol=1e-9, jit_loop=True, n_method="LBFGS",
+                           n_step_size=1.0, block=1, skip_iters=2,
+                           mesh=_mesh8(), analytic=False)
+    assert abs(s_par.energy("eV") - E_ser) < 1e-8
+
+
 def test_generic_pencil_hc_whole_optimization_matches_serial():
     """Capstone: a LADDER-based term set (Huang-Carter+PBE fcc-Al) runs
     the whole distributed optimization end to end through
