@@ -518,7 +518,7 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                          M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
                          max_iter=1000, skip_iters=2, f_scale=27.211386245988,
                          axis_name="grid", method="TPGD", terms=None,
-                         aux=None):
+                         aux=None, block=1):
     """Whole distributed density optimization as ONE SPMD program.
 
     The full production solver — exact-preconditioned TPGD with the dE
@@ -530,8 +530,11 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
 
     Args mirror ``System._jit_tpgd_full``; ``M_kernel`` is the exact
     uniform-density preconditioner diagonal (half-spectrum, global — it is
-    sharded along k-axis 1 automatically).  Returns (state, iters,
-    converged) with state.x sharded like ``chi0``.
+    sharded along k-axis 1 automatically), or ``None`` to run without a
+    preconditioner (the solvers' plain BB / identity-H0 forms).  ``block``
+    is the LBFGS stopping-rule evaluation period (iterations per
+    convergence check; TPGD checks every iteration regardless).  Returns
+    (state, iters, converged) with state.x sharded like ``chi0``.
 
     ``terms=None`` uses the hand-fused analytic WT+PBE gradient
     (:func:`pchi_value_and_grad`, fewest transforms — the production
@@ -565,15 +568,18 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                 terms, x, box, vext_local, N_elec, shape, axis_name,
                 aux=aux_local)
 
-        def aH0(q):
-            X = prfftn(q.reshape(local_shape), axis_name)
-            return pirfftn(M_slab * X, shape, axis_name).reshape(q.shape)
+        if M_slab is None:
+            aH0 = None
+        else:
+            def aH0(q):
+                X = prfftn(q.reshape(local_shape), axis_name)
+                return pirfftn(M_slab * X, shape, axis_name).reshape(q.shape)
 
         if method == "LBFGS":
             return solvers.lbfgs_minimize(vg, chi_local, lr=lr, ntol=ntol,
                                           conv_count=conv_count,
                                           max_iter=max_iter, f_scale=f_scale,
-                                          apply_H0=aH0, block=1,
+                                          apply_H0=aH0, block=block,
                                           skip_iters=skip_iters,
                                           axis_name=axis_name,
                                           freeze_lanes=False)
@@ -603,8 +609,9 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
     chi0 = jax.device_put(chi0, NamedSharding(mesh, flat))
     v_ext = jax.device_put(v_ext, NamedSharding(mesh, P_(axis_name, None,
                                                          None)))
-    M_kernel = jax.device_put(M_kernel,
-                              NamedSharding(mesh, P_(None, axis_name, None)))
+    if M_kernel is not None:
+        M_kernel = jax.device_put(
+            M_kernel, NamedSharding(mesh, P_(None, axis_name, None)))
     aux = jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), aux,
         aux_specs)

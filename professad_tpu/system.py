@@ -795,7 +795,7 @@ class System:
     def optimize_density(self, ntol=1e-7, n_conv_cond_count=3, n_method="LBFGS",
                          n_step_size=0.1, n_maxiter=1000, conv_target="dE",
                          n_verbose=False, from_uniform=False, potentials=None,
-                         jit_loop=False, precondition=False, block=6,
+                         jit_loop=False, precondition=None, block=6,
                          skip_iters=5, mesh=None, analytic=False):
         """Minimize the energy over the density (system.py:774-908).
 
@@ -815,7 +815,10 @@ class System:
         Hessian (LBFGS only; new vs the reference).  With
         ``n_step_size=1.0`` the preconditioned two-loop direction is a
         near-Newton step: bulk fcc-Al converges in 5-7 iterations instead
-        of ~180.
+        of ~180.  The default ``None`` means "auto": preconditioned for
+        the ``mesh=`` distributed paths (where it is the production
+        configuration), unpreconditioned otherwise; pass an explicit
+        ``False`` to force the plain solver anywhere.
 
         ``block`` / ``skip_iters`` (jit_loop only) tune the stopping rule:
         the convergence measure is evaluated once per ``block`` inner
@@ -841,6 +844,12 @@ class System:
         ``ops.grid.pencil_mode``, supporting every functional incl. the
         prepared ladder terms with their kernel hoists threaded as
         sharded aux arguments (tests/test_parallel_generic.py).
+        Distributed argument semantics: only ``conv_target="dE"`` exists
+        distributed (others raise); ``potentials=`` closures raise;
+        ``precondition`` defaults to True on this path (auto) and an
+        explicit False is honored; a non-default ``block`` is passed to
+        the distributed LBFGS stopping rule (the default maps to the
+        pencil path's production value of 1 — every-iteration checks).
         """
         if from_uniform:
             self.initialize_density()
@@ -870,6 +879,15 @@ class System:
                 raise ValueError("mesh= requires jit_loop=True")
             if "grid" not in mesh.axis_names:
                 raise ValueError('mesh must have a "grid" axis')
+            if potentials is not None:
+                raise ValueError(
+                    "mesh= supports autodiff or fused analytic gradients "
+                    "only, not a user-supplied potentials closure")
+            if conv_target != "dE":
+                raise ValueError(
+                    "mesh= supports conv_target='dE' only (the dEdchi/euler "
+                    f"measures have no distributed form; got "
+                    f"{conv_target!r})")
             if n_method in ("TPGD", "LBFGS"):
                 # PRODUCTION distributed path: hand-written pencil FFTs +
                 # psum'd solver under shard_map (parallel/pfft.py) — the
@@ -896,14 +914,20 @@ class System:
                             "analytic=False for the generic distributed "
                             "path.")
                 from .parallel.pfft import pencil_tpgd_minimize
-                M = self._precond_kernel(self._box_vecs, self._N_elec)
+                # precondition=None (auto) means True here: the exact
+                # spectral preconditioner is the production configuration
+                # of the distributed solver; an explicit False is honored
+                # (plain BB / identity-H0 steps).
+                M = (self._precond_kernel(self._box_vecs, self._N_elec)
+                     if precondition is not False else None)
                 state, n_it, conv = pencil_tpgd_minimize(
                     mesh, self._shape, self._box_vecs, self._v_ext,
                     self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
                     conv_count=n_conv_cond_count, max_iter=round(n_maxiter),
                     skip_iters=skip_iters, method=n_method,
                     terms=None if analytic else self._terms,
-                    aux=None if analytic else aux)
+                    aux=None if analytic else aux,
+                    block=1 if block == 6 else block)
                 self._set_den_from_chi(jnp.asarray(state.x))
                 self._ene = self._compute_energy(
                     use_ion_cache=self._Eion_cache is not None)
