@@ -77,27 +77,31 @@ def prfftn_dc(x_local, axis_name="grid"):
     global mean is carried around the backend transform exactly; see the
     serial docstring for the measured TPU DC-leak this removes).  The k=0
     coefficient lives on the axis-index-0 pencil only.  f64 passes
-    through plain :func:`prfftn`."""
+    through plain :func:`prfftn`.  Trailing batch axes (the ladder axis of
+    a field-dependent convolution) are handled per slab."""
     if x_local.dtype != jnp.float32:
         return prfftn(x_local, axis_name)
-    xm = pmean(x_local, axis_name)
-    n_glob = x_local.size * lax.axis_size(axis_name)
+    n_glob = (x_local.shape[0] * lax.axis_size(axis_name)
+              * x_local.shape[1] * x_local.shape[2])
+    xm = lax.psum(jnp.sum(x_local, axis=(0, 1, 2)), axis_name) / n_glob
     X = prfftn(x_local - xm, axis_name)
     own_dc = (lax.axis_index(axis_name) == 0).astype(X.real.dtype)
     return X.at[0, 0, 0].add(lax.complex(own_dc * xm * n_glob,
-                                         jnp.zeros((), X.real.dtype)))
+                                         jnp.zeros_like(xm)))
 
 
 def pirfftn_dc(X_local, shape, axis_name="grid"):
     """Inverse of :func:`prfftn_dc` (DC carried as an exact uniform
-    shift for complex64 spectra; others pass through)."""
+    shift for complex64 spectra; others pass through).  Trailing batch
+    axes are handled per slab."""
     if X_local.dtype != jnp.complex64:
         return pirfftn(X_local, shape, axis_name)
     own = (lax.axis_index(axis_name) == 0).astype(X_local.real.dtype)
-    dc = lax.psum(own * X_local[0, 0, 0].real, axis_name)
+    dc = lax.psum(own * jnp.real(X_local[0, 0, 0]), axis_name)
     X0 = X_local.at[0, 0, 0].multiply(1.0 - own)
     y = pirfftn(X0, shape, axis_name)
-    n_glob = y.size * lax.axis_size(axis_name)
+    n_glob = (y.shape[0] * lax.axis_size(axis_name)
+              * y.shape[1] * y.shape[2])
     return y + dc / n_glob
 
 

@@ -44,3 +44,32 @@ def test_spline():
             u_naive[start + bi] = conv_flat[bi, start + bi]
 
     assert np.allclose(np.asarray(u_spline).reshape(-1), u_naive, atol=1e-10)
+
+
+def test_ladder_transforms_f32_dc_split_exact():
+    """The batched 4-D ladder transforms carry the f32 DC-split (round-3
+    VERDICT weak #4): a uniform field through ladder_convolution /
+    ladder_adjoint with flat kernels stays EXACTLY uniform per slab — the
+    backend f32 FFT's ~6e-8 DC leak into low-k modes is structurally
+    removed, matching the 3-D guarantee of ops.grid.rfftn."""
+    import jax
+    from professad_tpu.ops.fieldconv import ladder_convolution, ladder_adjoint
+
+    shape = (24, 24, 24)
+    L = 5
+    val = np.float32(0.031415927)
+    g = jnp.full(shape, val, jnp.float32)
+    W = jnp.ones((shape[0], shape[1], shape[2] // 2 + 1, L), jnp.float32)
+
+    out = np.asarray(jax.jit(
+        lambda g_: ladder_convolution(W, g_, shape))(g))
+    assert out.shape == shape + (L,)
+    assert np.all(out == out.reshape(-1)[0]), "DC leaked into non-DC modes"
+    assert abs(float(out.reshape(-1)[0]) - float(val)) < 1e-6
+
+    B = jnp.full(shape + (L,), val, jnp.float32)
+    out2 = np.asarray(jax.jit(
+        lambda B_: ladder_adjoint(W, B_, shape))(B))
+    assert out2.shape == shape
+    assert np.all(out2 == out2.reshape(-1)[0]), "DC leaked into non-DC modes"
+    assert abs(float(out2.reshape(-1)[0]) - L * float(val)) < 1e-5
