@@ -140,8 +140,10 @@ class YukawaGGA(KineticFunctional):
         super().__init__(init_args)
         if init_args is None:
             alpha, beta, func, kappa = 1.0, 1.0, (lambda y, s2, q: y), 1.2
+            self._preset = ("yuk1",)   # the default F = y IS yuk1's form
         else:
             alpha, beta, func, kappa = init_args
+            self._preset = None        # user callable: autodiff-only
         self.params = {"alpha": jnp.asarray(float(alpha)),
                        "beta": jnp.asarray(float(beta))}
         self.F_pauli = func
@@ -153,26 +155,33 @@ class YukawaGGA(KineticFunctional):
         self.initialize()
 
     # -- preset parameterizations (parity: functionals.py:480-589) ------
+    # each setter tags the instance (self._preset) so the fused analytic
+    # potential (models/potentials.py _vp_yukawa) can select the matching
+    # closed-form F partials; custom F_pauli callables clear the tag.
     def set_yuk1(self):
         self.params["alpha"] = jnp.asarray(1.0)
         self.params["beta"] = jnp.asarray(1.0)
         self.F_pauli = lambda y, s2, q: y
+        self._preset = ("yuk1",)
 
     def set_yuk2(self):
         self.params["alpha"] = jnp.asarray(1.3629)
         self.params["beta"] = jnp.asarray(1.0)
         self.F_pauli = lambda y, s2, q: y * (1.0 + 40.0 / 27.0 * (q - s2))
+        self._preset = ("yuk2",)
 
     def set_yuk3(self, a=4.0):
         self.params["alpha"] = jnp.asarray(1.3629)
         self.params["beta"] = jnp.asarray(1.0)
         self.F_pauli = lambda y, s2, q: y * _T_a(a, 40.0 / 27.0 * (q - s2))
+        self._preset = ("yuk3", a)
 
     def set_yuk4(self, a=3.3):
         self.params["alpha"] = jnp.asarray(1.3629)
         self.params["beta"] = jnp.asarray(1.0)
         self.F_pauli = lambda y, s2, q: (y * _T_a(a, -40.0 / 27.0 * s2)
                                          * _T_a(2.0, 40.0 / 27.0 * q))
+        self._preset = ("yuk4", a)
 
     def _G0_G(self, s2, q):
         alpha, beta = self.params["alpha"], self.params["beta"]
@@ -188,6 +197,7 @@ class YukawaGGA(KineticFunctional):
             G0, G = self._G0_G(s2, q)
             return 1.0 - G0 + y * (G0 + G)
         self.F_pauli = func
+        self._preset = ("yuk2beta",)
 
     def set_yuk3beta(self, alpha, beta, a=2.0):
         self.params["alpha"] = jnp.asarray(float(alpha))
@@ -197,6 +207,7 @@ class YukawaGGA(KineticFunctional):
             G0, G = self._G0_G(s2, q)
             return _T_a(a, -G0 + y * (G0 + G))
         self.F_pauli = func
+        self._preset = ("yuk3beta", a)
 
     # -- ladder management -----------------------------------------------
     def prepare(self, box_vecs, den):

@@ -487,9 +487,12 @@ def G_inv_gap(box_vecs, den, E_gap):
 def KGAP(box_vecs, den, E_gap, f=lambda x: 1.0 + x):
     """KGAP: WT-style functional satisfying gapped-jellium linear response
     (parity: functionals.py:1131-1171)."""
-    zero = jnp.zeros(())
-    assert float(f(zero)) == 1.0, "Requires f(0) = 1"
-    fprime0 = float(jax.grad(lambda x: f(x))(zero))
+    # f(0)/f'(0) don't depend on traced values: evaluate them eagerly even
+    # when KGAP itself is being traced (jit_loop / precond-kernel paths)
+    with jax.ensure_compile_time_eval():
+        zero = jnp.zeros(())
+        assert float(f(zero)) == 1.0, "Requires f(0) = 1"
+        fprime0 = float(jax.grad(lambda x: f(x))(zero))
 
     b = 5.0
     fraction = E_gap * E_gap / (b + E_gap * E_gap)

@@ -549,9 +549,10 @@ def _vp_hc_family(ctx, owner, aux=None):
         dxi_dgdg = 2.0 * k_F * Fp * c2 * powr(den, -8.0 / 3.0)
 
     # batched forward convolution: f_j(r) = irfftn(W_j * g^)(r)
+    # (pencil-aware + f32 DC-split through the fieldconv helpers)
+    from ..ops.fieldconv import ladder_convolution, ladder_adjoint
     g = powr(den, beta)
-    conv = jnp.fft.irfftn(W * jnp.fft.rfftn(g)[..., None], s=ctx.shape,
-                          axes=(0, 1, 2))
+    conv = ladder_convolution(W, g, ctx.shape)
 
     w, dw = _ladder_weights(lad, xis, dt)
     K = jnp.sum(w * conv, axis=-1)
@@ -568,8 +569,7 @@ def _vp_hc_family(ctx, owner, aux=None):
     # forward + one inverse (kernels are real and |k|-symmetric)
     F_out = A / xi3
     B = (C_HC * F_out)[..., None] * w
-    B_ft = jnp.fft.rfftn(B, axes=(0, 1, 2))
-    J = jnp.fft.irfftn(jnp.sum(W * B_ft, axis=-1), s=ctx.shape)
+    J = ladder_adjoint(W, B, ctx.shape)
     pot = pot + beta * powr(den, beta - 1.0) * J
 
     # (c) xi chain: G = d/dxi of the integrand
@@ -668,13 +668,221 @@ def _vp_wgc99(ctx, owner):
     return E_vw + E_tf + E_nl, pot_vw + pot_tf + pot
 
 
-def _vp_xwm(ctx):
-    """XuWangMa with the DEFAULT kappa = 0 (the bare function; wrapped
-    lambdas carrying a different kappa in their closure are rejected by
-    ``supported_terms`` — the closure value cannot be extracted safely)."""
+def _vp_kgap(ctx, E_gap, f):
+    """KGAP fused analytic potential: the WTSF-style scalar-quotient chain
+    over the gapped-jellium response kernel (reference
+    functionals.py:1131-1171).  ``E_gap`` and ``f`` come from a
+    ``functools.partial`` binding (see ``_partial_vp``); f'(u) is exact
+    ``jax.grad`` on the scalar stabilizer, so ANY f with f(0) = 1 is
+    supported, not just the default 1 + x."""
+    from .kinetic_nonlocal import G_inv_gap
+
+    den = ctx.den
+    dt = den.dtype
+    with jax.ensure_compile_time_eval():
+        zero = jnp.zeros(())
+        assert float(f(zero)) == 1.0, "Requires f(0) = 1"
+        fprime0 = float(jax.grad(lambda x: f(x))(zero))
+
+    # gap-interpolated exponents (KGAP body, kinetic_nonlocal.py)
+    b = 5.0
+    fraction = E_gap * E_gap / (b + E_gap * E_gap)
+    alpha = 0.5 + (float(5.0 + np.sqrt(5.0)) / 6.0 - 0.5) * fraction
+    beta = 0.5 + (float(5.0 - np.sqrt(5.0)) / 6.0 - 0.5) * fraction
+
+    # KGAP's n0 is the ROUNDED detached mean density (unlike WT's)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
+    n0 = N_elec / ctx.vol
+
+    eta, G_inv = G_inv_gap(ctx.box_vecs, den, E_gap)
+    nz = eta != 0.0
+    G_safe = jnp.where(nz, G_inv, 1.0)
+    kern = jnp.where(nz, 1.0 / G_safe - 3.0 * eta * eta - 1.0, 0.0)
+    kern = (5.0 / (9.0 * alpha * beta * n0 ** (alpha + beta - 5.0 / 3.0))
+            * kern)
+
+    g_b = powr(den, beta)
+    g_a = powr(den, alpha)
+    conv_b = spectral_convolution(kern, g_b, ctx.shape)
+    conv_a = spectral_convolution(kern, g_a, ctx.shape)
+    T_NL = TF_COEFF * qmean(g_a * conv_b) * ctx.vol
+    dT_NL = TF_COEFF * (alpha * powr(den, alpha - 1.0) * conv_b
+                        + beta * powr(den, beta - 1.0) * conv_a)
+
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E_tf, pot_tf = _vp_thomas_fermi(ctx)
+    u = (T_NL / fprime0 / E_tf).astype(dt)
+    fu = f(u)
+    fpu = jax.grad(lambda x: f(x))(u)
+    du = (dT_NL * E_tf - T_NL * pot_tf).astype(dt) / fprime0 \
+        / jnp.asarray(E_tf * E_tf, dt)
+    E = E_vw + E_tf * fu
+    pot = pot_vw + pot_tf * fu + jnp.asarray(E_tf, dt) * fpu * du
+    return E, pot
+
+
+def _vp_yukawa(ctx, owner):
+    """YukawaGGA preset fused analytic potential.
+
+    E = vW + int TF_ked F(y, s^2, q) with the Yukawa descriptor
+    y = c(n) u, u the spline field-dependent convolution of n^beta with
+    the ladder of Yukawa kernels 4 pi/(k^2 + xi_j^2), xi = alpha k_F(r)
+    (reference functionals.py:406-607).  The potential has five chains:
+
+      (1) the direct TF_ked factor;
+      (2) the prefactor c(n) ~ n^{2/3 - beta}:    (2/3 - beta) y / n;
+      (3) u's xi dependence: the Hermite-weight derivative contraction
+          (``_ladder_weights``), with d xi/dn = xi / (3 n);
+      (4) u's convolution adjoint over g = n^beta — the same batched
+          one-forward-one-inverse ladder adjoint as the HC family;
+      (5) the s^2 (divergence) and q (Laplacian) chains of the preset's
+          closed-form F partials.
+
+    Supported for the fixed preset F_pauli forms (yuk1-4, yuk2beta,
+    yuk3beta — tagged by the setters); arbitrary user callables stay
+    autodiff-only (``supported_terms`` gates).  Requires
+    ``owner.prepare()`` (static ladder).  These analytic forms exist
+    NOWHERE in the reference (its tests cover GGA terms only).
+    """
+    from ..ops.fieldconv import ladder_convolution, ladder_adjoint
+
+    preset = getattr(owner, "_preset", None)
+    if preset is None or not owner.spline:
+        raise KeyError(
+            "YukawaGGA analytic potential: only the tagged presets with "
+            "spline=True are supported — gate with supported_terms().")
+    if owner.xi_sparse is None:
+        raise RuntimeError(
+            "YukawaGGA analytic path: call prepare(box_vecs, den) with a "
+            "concrete density first (the static xi ladder is required).")
+
+    den = ctx.den
+    dt = den.dtype
+    _, _, _, k2 = ctx.kvecs
+    alpha = float(owner.params["alpha"])
+    beta = float(owner.params["beta"])
+    lad = jnp.asarray(owner.xi_sparse, dt)
+
+    k_F = powr(3.0 * np.pi**2 * den, 1.0 / 3.0)
+    xis = alpha * k_F
+    g = powr(den, beta)
+
+    # ladder of constant-xi Yukawa kernels; one batched inverse transform
+    W = 4.0 * np.pi / (k2[..., None] + lad * lad)
+    conv = ladder_convolution(W, g, ctx.shape)
+    w, dw = _ladder_weights(lad, xis, dt)
+    u = jnp.sum(w * conv, axis=-1)
+    du_dxi = jnp.sum(dw * conv, axis=-1)
+
+    # y = c(n) u, c = 3 pi alpha^2 / (4 k_F n^{beta-1}) ~ n^{2/3 - beta}
+    c = 3.0 * np.pi * alpha**2 / (4.0 * k_F * powr(den, beta - 1.0))
+    y = c * u
+
+    # density descriptors (shared spectra with the rest of the sweep)
+    c2 = 0.25 * (3.0 * np.pi**2) ** (-2.0 / 3.0)
+    s2 = c2 * ctx.gdg * powr(den, -8.0 / 3.0)
+    lap_den = irfftn(-k2 * ctx.den_ft, ctx.shape)
+    q = c2 * lap_den * powr(den, -5.0 / 3.0)
+
+    # preset F and closed-form partials
+    x0 = 40.0 / 27.0
+    tag = preset[0]
+    if tag == "yuk1":
+        F = y
+        F_y = jnp.ones_like(y)
+        F_s2 = jnp.zeros_like(y)
+        F_q = jnp.zeros_like(y)
+    elif tag == "yuk2":
+        lin = 1.0 + x0 * (q - s2)
+        F = y * lin
+        F_y = lin
+        F_q = y * x0
+        F_s2 = -y * x0
+    elif tag == "yuk3":
+        a = float(preset[1])
+        x = x0 * (q - s2)
+        th = jnp.tanh((a / 2.0) * x)
+        T = 1.0 + (2.0 / a) * th
+        Tp = 1.0 - th * th
+        F = y * T
+        F_y = T
+        F_q = y * Tp * x0
+        F_s2 = -y * Tp * x0
+    elif tag == "yuk4":
+        a = float(preset[1])
+        th1 = jnp.tanh((a / 2.0) * (-x0 * s2))
+        T1 = 1.0 + (2.0 / a) * th1
+        T1p = 1.0 - th1 * th1
+        th2 = jnp.tanh(x0 * q)         # T_2(2, x): (2/2) tanh(2x/2)
+        T2 = 1.0 + th2
+        T2p = 1.0 - th2 * th2
+        F = y * T1 * T2
+        F_y = T1 * T2
+        F_s2 = y * T1p * (-x0) * T2
+        F_q = y * T1 * T2p * x0
+    elif tag in ("yuk2beta", "yuk3beta"):
+        ap = jnp.asarray(owner.params["alpha"], dt)
+        bp = jnp.asarray(owner.params["beta"], dt)
+        G0 = (ap**2 * (ap**2 - 60.0)
+              / (108.0 * bp * (9.0 * bp - 10.0)))
+        g_c = x0 / bp - 4.0 / ap**2 * (bp - 1.0) * G0
+        G = g_c * (q - bp * s2)
+        if tag == "yuk2beta":
+            F = 1.0 - G0 + y * (G0 + G)
+            F_y = G0 + G
+            F_q = y * g_c
+            F_s2 = -y * g_c * bp
+        else:
+            a = float(preset[1])
+            x = -G0 + y * (G0 + G)
+            th = jnp.tanh((a / 2.0) * x)
+            F = 1.0 + (2.0 / a) * th
+            Tp = 1.0 - th * th
+            F_y = Tp * (G0 + G)
+            F_q = Tp * y * g_c
+            F_s2 = -Tp * y * g_c * bp
+    else:  # pragma: no cover - setters only produce the tags above
+        raise KeyError(f"unknown YukawaGGA preset tag {tag!r}")
+
+    TF_ked = TF_COEFF * powr(den, 5.0 / 3.0)
+    E_vw, pot_vw = _vp_weizsaecker(ctx)
+    E = E_vw + qmean(TF_ked * F) * ctx.vol
+
+    # (1) direct TF_ked factor
+    pot = pot_vw + (5.0 / 3.0) * TF_COEFF * powr(den, 2.0 / 3.0) * F
+
+    # (2) + (3): y's local chains (prefactor + xi), d xi/dn = xi/(3n)
+    Ay = TF_ked * F_y
+    pot = pot + Ay * ((2.0 / 3.0 - beta) * y / den
+                      + c * du_dxi * xis / (3.0 * den))
+
+    # (4) convolution adjoint over g = n^beta (batched, kernels symmetric)
+    B = (Ay * c)[..., None] * w
+    adj = ladder_adjoint(W, B, ctx.shape)
+    pot = pot + beta * powr(den, beta - 1.0) * adj
+
+    # (5a) s^2 chain: local + divergence
+    As2 = TF_ked * F_s2
+    pot = pot + As2 * (-8.0 / 3.0) * s2 / den
+    gx, gy, gz = ctx.grads
+    wdiv = As2 * c2 * powr(den, -8.0 / 3.0)
+    pot = pot - 2.0 * ctx.divergence(wdiv * gx, wdiv * gy, wdiv * gz)
+
+    # (5b) q chain: local + Laplacian adjoint
+    Aq = TF_ked * F_q
+    pot = pot + Aq * (-5.0 / 3.0) * q / den
+    pot = pot + irfftn(-k2 * rfftn(Aq * c2 * powr(den, -5.0 / 3.0)),
+                       ctx.shape)
+    return E, pot
+
+
+def _vp_xwm(ctx, kappa=0.0):
+    """XuWangMa (any concrete kappa: the bare function is kappa = 0;
+    ``functools.partial(XuWangMa, kappa=...)`` bindings are read by
+    ``_partial_vp``; opaque lambdas stay rejected by ``supported_terms`` —
+    a closure value cannot be extracted safely)."""
     from .kinetic_nonlocal import _xwm_kernels
 
-    kappa = 0.0
     den = ctx.den
     _, _, _, k2 = ctx.kvecs
     N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
@@ -799,7 +1007,30 @@ _INSTANCE_DISPATCH = {
     "WangGovindCarter99":
         lambda ctx, owner, aux=None: _vp_wgc99(ctx, owner),
     "FoleyMadden": lambda ctx, owner, aux=None: _vp_fm(ctx, owner),
+    "YukawaGGA": lambda ctx, owner, aux=None: _vp_yukawa(ctx, owner),
 }
+
+
+def _partial_vp(t):
+    """(ctx -> (E, pot)) for a ``functools.partial``-wrapped supported
+    bare function, or None.  Unlike opaque lambdas, a keyword partial
+    exposes its bound arguments, so KGAP's E_gap/f and XWM's kappa are
+    readable — positional bindings are rejected (they would shift
+    box_vecs/den)."""
+    import functools
+    from .kinetic_nonlocal import KGAP, XuWangMa
+
+    if not isinstance(t, functools.partial) or t.args:
+        return None
+    kw = dict(t.keywords or {})
+    if t.func is KGAP and "E_gap" in kw and set(kw) <= {"E_gap", "f"}:
+        E_gap = float(kw["E_gap"])
+        f = kw.get("f", lambda x: 1.0 + x)
+        return lambda ctx: _vp_kgap(ctx, E_gap, f)
+    if t.func is XuWangMa and set(kw) <= {"kappa"}:
+        kappa = float(kw.get("kappa", 0.0))
+        return lambda ctx: _vp_xwm(ctx, kappa)
+    return None
 
 
 def _sum_vp(ctx, fns):
@@ -815,8 +1046,12 @@ def _sum_vp(ctx, fns):
 def supported_terms(terms):
     """True iff every density-dependent term has a fused analytic form.
 
-    Note: ``XuWangMa`` is supported only as the bare function (kappa = 0);
-    a closure-wrapped variant carries a kappa the dispatcher cannot read.
+    Notes: ``XuWangMa`` is supported as the bare function (kappa = 0) or a
+    keyword ``functools.partial`` (any kappa); ``KGAP`` as a keyword
+    partial binding E_gap (any f with f(0) = 1); ``YukawaGGA`` instances
+    for the tagged presets (yuk1-4, yuk2beta, yuk3beta) with spline=True.
+    Opaque closures (lambdas) stay autodiff-only — their bound values
+    cannot be read.
     """
     from ..system import _term_name
     from .kinetic_nonlocal import XuWangMa
@@ -826,8 +1061,15 @@ def supported_terms(terms):
             continue
         if t is XuWangMa:
             continue
+        if _partial_vp(t) is not None:
+            continue
         owner = getattr(t, "__self__", t)
-        if type(owner).__name__ in _INSTANCE_DISPATCH:
+        cls = type(owner).__name__
+        if cls == "YukawaGGA":
+            if getattr(owner, "_preset", None) is not None and owner.spline:
+                continue
+            return False
+        if cls in _INSTANCE_DISPATCH:
             continue
         if nm not in _DISPATCH:
             return False
@@ -854,6 +1096,12 @@ def value_and_potential(terms, box_vecs, den, v_ext, N_elec=None, aux=None):
             continue
         if t is XuWangMa:
             e, p = _vp_xwm(ctx)
+            E = E + e
+            pot = pot + p
+            continue
+        pfn = _partial_vp(t)
+        if pfn is not None:
+            e, p = pfn(ctx)
             E = E + e
             pot = pot + p
             continue

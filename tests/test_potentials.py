@@ -270,3 +270,91 @@ def test_wrapped_xwm_rejected():
     wrapped.__name__ = "XuWangMa"
     assert not supported_terms([wrapped])
     assert supported_terms([XuWangMa])
+
+
+def test_kgap_partial_matches_autodiff():
+    """KGAP bound through functools.partial (readable E_gap/f, unlike an
+    opaque lambda): the gapped-response scalar-quotient chain vs jax.grad
+    at machine precision, for the default f = 1 + x and a custom f."""
+    from functools import partial
+    from professad_tpu.models import KGAP
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    cases = [partial(KGAP, E_gap=1.17),
+             partial(KGAP, E_gap=3.0,
+                     f=lambda x: 1.0 + x + 0.2 * jnp.tanh(x))]
+    for t in cases:
+        assert supported_terms([t])
+        E, pot = value_and_potential([t], box, den, vext)
+        E_ref = float(t(box, den))
+        g = jax.grad(lambda d: t(box, d))(den)
+        pot_ref = np.asarray(g) / quad_w
+        assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12
+        scale = np.max(np.abs(pot_ref))
+        assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10
+
+
+def test_xwm_partial_matches_autodiff():
+    """XuWangMa with a non-default kappa bound through functools.partial."""
+    from functools import partial
+    from professad_tpu.models import XuWangMa
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    t = partial(XuWangMa, kappa=0.01)
+    assert supported_terms([t])
+    E, pot = value_and_potential([t], box, den, vext)
+    E_ref = float(t(box, den))
+    g = jax.grad(lambda d: t(box, d))(den)
+    pot_ref = np.asarray(g) / quad_w
+    assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12
+    scale = np.max(np.abs(pot_ref))
+    assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10
+    # positional partials would shift (box_vecs, den) — must stay rejected
+    assert not supported_terms([partial(XuWangMa, 0.01)])
+
+
+def test_yukawa_presets_match_autodiff():
+    """Every tagged YukawaGGA preset (yuk1-4, yuk2beta, yuk3beta): the
+    five-chain ladder potential (prefactor, xi weight-derivative, batched
+    convolution adjoint, s^2 divergence, q Laplacian) vs jax.grad at
+    machine precision.  These analytic forms exist nowhere in the
+    reference."""
+    from professad_tpu.models import YukawaGGA
+
+    box, den, vext = _state()
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    quad_w = vol / den.size
+
+    yuk = YukawaGGA()
+    setters = [lambda: yuk.set_yuk1(), lambda: yuk.set_yuk2(),
+               lambda: yuk.set_yuk3(), lambda: yuk.set_yuk4(),
+               lambda: yuk.set_yuk2beta(1.3, 1.1),
+               lambda: yuk.set_yuk3beta(1.3, 1.1, a=2.0)]
+    for setter in setters:
+        setter()
+        yuk.prepare(box, den)
+        name = yuk._preset[0]
+        assert supported_terms([yuk.forward]), name
+        E, pot = value_and_potential([yuk.forward], box, den, vext)
+        E_ref = float(yuk.forward(box, den))
+        g = jax.grad(lambda d: yuk.forward(box, d))(den)
+        pot_ref = np.asarray(g) / quad_w
+        assert abs(float(E) - E_ref) / abs(E_ref) < 1e-12, name
+        scale = np.max(np.abs(pot_ref))
+        assert np.max(np.abs(np.asarray(pot) - pot_ref)) / scale < 1e-10, \
+            name
+
+
+def test_yukawa_custom_callable_still_rejected():
+    """A YukawaGGA with a user F_pauli callable has no tag — it must stay
+    autodiff-only (supported_terms False) rather than silently wrong."""
+    from professad_tpu.models import YukawaGGA
+
+    yuk = YukawaGGA((1.0, 1.0, lambda y, s2, q: y * y, 1.2))
+    assert not supported_terms([yuk.forward])
