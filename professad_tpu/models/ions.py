@@ -95,13 +95,34 @@ def interpolate_recpot(path, ks_interp):
 # ------------------------- structure factors & sums -------------------------
 
 def lattice_sum(box_vecs, shape, cart_ion_coords, f_tilde, order=None):
-    """F(r) = irfftn(S(q) f~(q)) / vol (parity: ion_utils.py:88-118)."""
+    """F(r) = irfftn(S(q) f~(q)) / vol (parity: ion_utils.py:88-118).
+
+    Pencil-aware: under ``ops.grid.pencil_mode`` (inside shard_map),
+    ``shape`` is the LOCAL axis-0 slab shape, the exact structure factor
+    is evaluated on this device's k-pencil (``wavevecs`` dispatches), and
+    the inverse transform is a pencil FFT — this is how the distributed
+    forces/stress rebuild v_ext(R, h) without gathering the grid.  The
+    PME path has no distributed form (its B-spline scatter crosses slab
+    boundaries); it raises under pencil_mode."""
+    from ..ops import grid as _grid
     if order is None:
         S = structure_factor(box_vecs, shape, cart_ion_coords)
     else:
         if not (order % 2 == 0 and order >= 2):
             raise ValueError("PME requires an even order >= 2")
+        if _grid._PENCIL_AXIS is not None:
+            raise NotImplementedError(
+                "the PME structure factor has no distributed (pencil) "
+                "implementation — use the exact structure factor "
+                "(pme_order=None) with mesh-distributed forces/stress")
         S = structure_factor_spline(box_vecs, shape, cart_ion_coords, order)
+    if _grid._PENCIL_AXIS is not None:
+        from ..parallel import pfft
+        ax = _grid._PENCIL_AXIS
+        n_glob = (shape[0] * jax.lax.axis_size(ax)) * shape[1] * shape[2]
+        # norm="forward" semantics: the inverse transform is unscaled
+        return (n_glob * pfft.pirfftn_dc(S * f_tilde, shape, ax)
+                / volume(box_vecs))
     return (jnp.fft.irfftn(S * f_tilde, shape, norm="forward")
             / volume(box_vecs))
 
