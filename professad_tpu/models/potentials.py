@@ -311,7 +311,7 @@ def _vp_vwgtf(ctx, which):
     (reference tools-style chain; n0 carries zero density-gradient because
     the electron count is rounded+detached)."""
     den = ctx.den
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
     n0 = N_elec / ctx.vol
     d = den / n0
     if which == 1:
@@ -423,7 +423,7 @@ def _vp_mgp(ctx, owner):
     closed form (5/3) n^{-1/6} conv(K, n^{5/6})."""
     den = ctx.den
     _, _, _, k2 = ctx.kvecs
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
     n0 = N_elec / ctx.vol
     k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
     if owner.kernel is None:
@@ -596,7 +596,6 @@ def _vp_wtsf(ctx, owner):
     u = (E_nl / owner.fprime0 / E_tf).astype(ctx.den.dtype)
     fu = owner.f(u)
     fpu = jax.grad(lambda x: owner.f(x))(u)
-    quad_w = ctx.vol / ctx.den.size
     # d u/dn = (T_NL' TF - T_NL TF')/(f'(0) TF^2), everything per-point
     du = (pot_nl * E_tf - E_nl * pot_tf).astype(ctx.den.dtype) \
         / owner.fprime0 / jnp.asarray(E_tf * E_tf, ctx.den.dtype)
@@ -614,16 +613,22 @@ def _vp_wgc99(ctx, owner):
     den = ctx.den
     dt = den.dtype
     _, _, _, k2 = ctx.kvecs
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
     n0 = N_elec / ctx.vol
     params = owner.params
     n_ref = params["kappa"].astype(dt) * n0
     k_F = (3.0 * np.pi**2 * n_ref) ** (1.0 / 3.0)
     eta = safe_sqrt(k2) / (2.0 * k_F)
-    alpha = params["alpha"].astype(dt)
-    beta = params["beta"].astype(dt)
-    gamma = params["gamma"].astype(dt)
-    w0, w1, w2 = _wgc99_kernel(eta, float(alpha), float(beta), float(gamma),
+    # read the CONCRETE parameter values before any staged op touches
+    # them: under jit/shard_map tracing, astype() returns a tracer and
+    # float() would raise (the analytic path requires concrete params)
+    alpha_f = float(params["alpha"])
+    beta_f = float(params["beta"])
+    gamma_f = float(params["gamma"])
+    alpha = jnp.asarray(alpha_f, dt)
+    beta = jnp.asarray(beta_f, dt)
+    gamma = jnp.asarray(gamma_f, dt)
+    w0, w1, w2 = _wgc99_kernel(eta, alpha_f, beta_f, gamma_f,
                                owner.num_terms)
     T = 20.0 * n_ref ** (5.0 / 3.0 - alpha - beta)
     w0 = T * w0
@@ -634,10 +639,10 @@ def _vp_wgc99(ctx, owner):
     K3 = (eta * eta * w2 + (1.0 + gamma) * eta * w1) / (36.0 * n_ref**2)
 
     theta = den - n_ref
-    nb = powr(den, float(beta))
-    a = powr(den, float(alpha))
-    dnb = beta * powr(den, float(beta) - 1.0)
-    da = alpha * powr(den, float(alpha) - 1.0)
+    nb = powr(den, beta_f)
+    a = powr(den, alpha_f)
+    dnb = beta * powr(den, beta_f - 1.0)
+    da = alpha * powr(den, alpha_f - 1.0)
     cv = lambda kern, field: spectral_convolution(kern, field, ctx.shape)
 
     C0 = cv(w0, nb)
@@ -885,7 +890,7 @@ def _vp_xwm(ctx, kappa=0.0):
 
     den = ctx.den
     _, _, _, k2 = ctx.kvecs
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
     n0 = N_elec / ctx.vol
     # G_inv_lindhard's own (unrounded) detached mean density, exactly as
     # the energy path computes it
@@ -925,10 +930,13 @@ def _vp_fm(ctx, owner):
     den = ctx.den
     dt = den.dtype
     _, _, _, k2 = ctx.kvecs
-    alpha = owner.params["alpha"].astype(dt)
-    beta = owner.params["beta"].astype(dt)
+    # concrete parameter reads before any staged op (see _vp_wgc99 note)
+    alpha_f = float(owner.params["alpha"])
+    beta_f = float(owner.params["beta"])
+    alpha = jnp.asarray(alpha_f, dt)
+    beta = jnp.asarray(beta_f, dt)
 
-    N_elec = jnp.round(jax.lax.stop_gradient(jnp.mean(den)) * ctx.vol)
+    N_elec = jnp.round(jax.lax.stop_gradient(wmean(den)) * ctx.vol)
     n0 = N_elec / ctx.vol
     k_F = (3.0 * np.pi**2 * n0) ** (1.0 / 3.0)
     # G_inv_lindhard's own (unrounded) detached n0, as the energy path does
@@ -940,10 +948,10 @@ def _vp_fm(ctx, owner):
 
     kernel = (TF_COEFF * 5.0 / (9.0 * alpha**2 * n0 ** (2.0 * alpha - 5.0 / 3.0))
               * (1.0 / G_inv - 3.0 * eta * eta - 1.0))
-    d_a = powr(den, float(alpha)) - n0 ** alpha
+    d_a = powr(den, alpha_f) - n0 ** alpha
     conv = spectral_convolution(kernel, d_a, ctx.shape)
     NL1 = qmean(d_a * conv) * ctx.vol
-    dNL1 = 2.0 * alpha * powr(den, float(alpha) - 1.0) * conv
+    dNL1 = 2.0 * alpha * powr(den, alpha_f - 1.0) * conv
 
     K_delta = (alpha**2 * n0 ** (2.0 * alpha - 1.0) / 18.0 * k_F**2
                * (6.0 * alpha - 5.0) * kernel)
@@ -953,7 +961,7 @@ def _vp_fm(ctx, owner):
     kerns = [f1, f1 * q**4, f1_over_q2, f1 * q**2, f2 * f3, f2, f5, f4,
              f6, f7, K_delta]
 
-    delta_nb = powr(den, float(beta)) - n0 ** beta
+    delta_nb = powr(den, beta_f) - n0 ** beta
     dnb_ft = rfftn(delta_nb)
     F = [irfftn(kern * dnb_ft, ctx.shape) for kern in kerns]
     F1, F2, F3, F4, F5, F6, F7_, F8, F9, F10, F11 = F
@@ -979,7 +987,7 @@ def _vp_fm(ctx, owner):
     for kern, g in zip(kerns[1:], dF[1:]):
         acc = acc + kern * rfftn(g)
     adj = irfftn(acc, ctx.shape) + 6.0 * F11 * delta_nb
-    dNL2 = c2 * adj * beta * powr(den, float(beta) - 1.0)
+    dNL2 = c2 * adj * beta * powr(den, beta_f - 1.0)
 
     E_vw, pot_vw = _vp_weizsaecker(ctx)
     E_tf, pot_tf = _vp_thomas_fermi(ctx)

@@ -44,7 +44,8 @@ __all__ = ["prfftn", "pirfftn", "prfftn_dc", "pirfftn_dc", "pwavevecs",
            "pconv", "make_penergy", "pmean", "pqmean", "pwmean",
            "penergy_wt_pbe", "pvalue_and_potential_wt_pbe",
            "penergy_terms", "pchi_value_and_grad_terms",
-           "pchi_value_and_grad", "pencil_tpgd_minimize"]
+           "pchi_value_and_grad", "pchi_value_and_grad_analytic",
+           "pencil_tpgd_minimize"]
 
 
 def prfftn(x_local, axis_name="grid"):
@@ -427,6 +428,44 @@ def pchi_value_and_grad(chi_local_flat, box_vecs, v_ext_local, N_elec,
     return E, dEdchi.reshape(-1)
 
 
+def pchi_value_and_grad_analytic(terms, chi_local_flat, box_vecs,
+                                 v_ext_local, N_elec, shape,
+                                 axis_name="grid", aux=None):
+    """Distributed chi-parameterized (E, dE/dchi) from the GENERIC fused
+    analytic potentials (call INSIDE shard_map): the serial
+    ``models.potentials.value_and_potential`` sweep runs under
+    ``ops.grid.pencil_mode`` — every transform a pencil FFT, every
+    reduction a psum, kernel-slab aux hoists sharded to the k-pencil —
+    so ANY supported term set gets the fused forward-sweep gradient
+    distributed (one sweep, shared spectra, no reverse-mode residuals).
+    Supersedes the hand-written :func:`pchi_value_and_grad` (kept as the
+    WT+PBE benchmark/reference of this generic path).
+    """
+    from ..ops.grid import pencil_mode
+    from ..models.potentials import value_and_potential
+
+    n_dev = lax.axis_size(axis_name)
+    local_shape = (shape[0] // n_dev, shape[1], shape[2])
+    chi = chi_local_flat.reshape(local_shape)
+    vol = jnp.abs(jnp.linalg.det(box_vecs))
+    N_tilde = pwmean(chi * chi, axis_name) * vol
+    den_pre = (N_elec / N_tilde) * chi * chi
+    if chi.dtype == jnp.float32:
+        c = 1e-10 * N_elec / vol
+        s = N_elec / (N_elec + c * vol)
+        den = (den_pre + c) * s
+    else:
+        s = 1.0
+        den = den_pre
+    with pencil_mode(axis_name):
+        E, pot = value_and_potential(terms, box_vecs, den, v_ext_local,
+                                     N_elec=N_elec, aux=aux)
+    quad_w = vol / (shape[0] * shape[1] * shape[2])
+    mu = pwmean(pot * den_pre, axis_name) * vol / N_elec
+    dEdchi = s * (N_elec / N_tilde) * 2.0 * chi * (pot - mu) * quad_w
+    return E, dEdchi.reshape(-1)
+
+
 def penergy_terms(terms, box_vecs, den_local, v_ext_local,
                   axis_name="grid", aux=None):
     """GENERIC distributed energy: evaluates the SERIAL term bodies inside
@@ -522,7 +561,7 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
                          M_kernel, lr=1.0, ntol=1e-7, conv_count=3,
                          max_iter=1000, skip_iters=2, f_scale=27.211386245988,
                          axis_name="grid", method="TPGD", terms=None,
-                         aux=None, block=1):
+                         aux=None, block=1, analytic=False):
     """Whole distributed density optimization as ONE SPMD program.
 
     The full production solver — exact-preconditioned TPGD with the dE
@@ -540,12 +579,15 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
     convergence check; TPGD checks every iteration regardless).  Returns
     (state, iters, converged) with state.x sharded like ``chi0``.
 
-    ``terms=None`` uses the hand-fused analytic WT+PBE gradient
-    (:func:`pchi_value_and_grad`, fewest transforms — the production
-    fcc-Al path); passing a term list instead drives the GENERIC
-    autodiff gradient (:func:`pchi_value_and_grad_terms`), distributing
-    any fixed-kernel functional set via the serial bodies under
-    ``pencil_mode``.
+    Gradient selection: ``terms=None`` uses the hand-fused analytic
+    WT+PBE gradient (:func:`pchi_value_and_grad` — kept as the benchmark
+    and cross-check of the generic path); a term list with
+    ``analytic=True`` drives the GENERIC fused analytic gradient
+    (:func:`pchi_value_and_grad_analytic` — any term set
+    ``models.potentials.supported_terms`` accepts, the production
+    multi-chip form); a term list with ``analytic=False`` the generic
+    reverse-mode autodiff gradient (:func:`pchi_value_and_grad_terms` —
+    any fixed-kernel functional set, incl. arbitrary user callables).
     """
     from jax.sharding import NamedSharding
     from ..ops import solvers
@@ -567,6 +609,10 @@ def pencil_tpgd_minimize(mesh, shape, box_vecs, v_ext, N_elec, chi0,
         if terms is None:
             vg = lambda x: pchi_value_and_grad(x, box, vext_local, N_elec,
                                                shape, axis_name)
+        elif analytic:
+            vg = lambda x: pchi_value_and_grad_analytic(
+                terms, x, box, vext_local, N_elec, shape, axis_name,
+                aux=aux_local)
         else:
             vg = lambda x: pchi_value_and_grad_terms(
                 terms, x, box, vext_local, N_elec, shape, axis_name,

@@ -888,12 +888,16 @@ class System:
         ``mesh=`` (jit_loop only, new vs the reference) runs the whole
         optimization distributed over the mesh's "grid" axis through the
         pencil-FFT SPMD solver (parallel/pfft.py, zero all-gathers):
-        ``analytic=True`` selects the hand-fused WT+PBE gradient (that
-        exact term set, validated), ``analytic=False`` the GENERIC
-        gradient — the serial term bodies traced under
-        ``ops.grid.pencil_mode``, supporting every functional incl. the
-        prepared ladder terms with their kernel hoists threaded as
-        sharded aux arguments (tests/test_parallel_generic.py).
+        ``analytic=True`` selects the GENERIC fused analytic gradient —
+        the ``models/potentials.py`` sweep traced under
+        ``ops.grid.pencil_mode``, for any term set ``supported_terms``
+        accepts — and ``analytic=False`` the generic autodiff gradient
+        (the serial term bodies under ``pencil_mode``, every functional
+        incl. arbitrary user callables); prepared ladder terms thread
+        their kernel hoists as sharded aux arguments on both
+        (tests/test_parallel_generic.py).  The mesh stays attached
+        (see ``set_mesh``): forces/stress/geometry evaluate distributed
+        afterwards.
         Distributed argument semantics: only ``conv_target="dE"`` exists
         distributed (others raise); ``potentials=`` closures raise;
         ``precondition`` defaults to True on this path (auto) and an
@@ -949,24 +953,22 @@ class System:
                 # scalars; nothing is ever gathered.  (The GSPMD fallback
                 # below is correct but all-gathers the grid per FFT: the
                 # auto-partitioner cannot partition FFT ops.)
-                # Gradients: analytic=True uses the hand-fused WT+PBE
-                # sweep (fewest transforms; requires that exact term set);
-                # otherwise the SERIAL term bodies run distributed under
-                # ops.grid.pencil_mode (generic autodiff gradient — any
-                # functional set; ladder terms were prepared above and
-                # their 4-D convolution rides one batched all_to_all).
+                # Gradients: analytic=True runs the GENERIC fused analytic
+                # sweep (models/potentials.py under pencil_mode — one
+                # forward sweep, shared spectra, no reverse-mode
+                # residuals) for any term set supported_terms accepts;
+                # analytic=False the generic autodiff gradient (the SERIAL
+                # term bodies under pencil_mode — any functional set).
+                # Ladder terms were prepared above and their 4-D
+                # convolution rides one batched all_to_all either way.
                 if analytic:
-                    names = {_term_name(f) for f in self._terms}
-                    wt_pbe = {"IonElectron", "Hartree", "WangTeter",
-                              "PerdewBurkeErnzerhof"}
-                    if not (names - {"IonIon"} == wt_pbe):
+                    from .models.potentials import supported_terms
+                    if not supported_terms(self._terms):
                         raise ValueError(
-                            "mesh= with analytic=True runs the hand-fused "
-                            "WT+PBE distributed gradient and requires "
-                            "exactly the IonElectron+Hartree+WangTeter+PBE "
-                            f"term set (got {sorted(names)}); use "
-                            "analytic=False for the generic distributed "
-                            "path.")
+                            "analytic=True requires every term to have a "
+                            "fused analytic potential "
+                            "(models/potentials.py); use analytic=False "
+                            "for the autodiff distributed path.")
                 from .parallel.pfft import pencil_tpgd_minimize
                 # precondition=None (auto) means True here: the exact
                 # spectral preconditioner is the production configuration
@@ -979,8 +981,7 @@ class System:
                     self._N_elec, chi0, M, lr=n_step_size, ntol=ntol,
                     conv_count=n_conv_cond_count, max_iter=round(n_maxiter),
                     skip_iters=skip_iters, method=n_method,
-                    terms=None if analytic else self._terms,
-                    aux=None if analytic else aux,
+                    terms=self._terms, aux=aux, analytic=analytic,
                     block=1 if block == 6 else block)
                 self._set_den_from_chi(jnp.asarray(state.x))
                 self._ene = self._compute_energy(

@@ -380,9 +380,83 @@ def test_generic_pencil_f32_tier_parity():
     assert abs(E_d - E_s) / abs(E_s) < 5e-6, (E_d, E_s)
 
 
-def test_mesh_analytic_requires_wt_pbe_terms():
-    """mesh= with analytic=True runs the hand-fused WT+PBE gradient; any
-    other term set must raise, not silently compute WT+PBE."""
+def test_mesh_analytic_rejects_unsupported_terms():
+    """mesh= with analytic=True runs the GENERIC fused analytic gradient;
+    a term with no analytic form (an arbitrary user callable) must raise,
+    not silently compute something else."""
+    import os
+    from professad_tpu.system import System
+    from professad_tpu.models import IonIon, YukawaGGA
+
+    pot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "potentials", "al.gga.recpot")
+    box_vecs = 4.050 * jnp.eye(3)
+    frac = jnp.zeros((1, 3))
+    yuk = YukawaGGA((1.0, 1.0, lambda y, s2, q: y * y, 1.2))  # custom F
+    terms = [IonIon, IonElectron, Hartree, yuk.forward, Weizsaecker]
+    s = System(box_vecs, (16, 16, 16), [["Al", pot, frac]], terms,
+               units="a", coord_type="fractional")
+    with pytest.raises(ValueError, match="analytic"):
+        s.optimize_density(jit_loop=True, n_method="TPGD", mesh=_mesh8(),
+                           analytic=True)
+
+
+ANALYTIC_TERM_SETS = [
+    ("TF_vW_PW92", [IonElectron, Hartree, ThomasFermi, Weizsaecker,
+                    PerdewWang]),
+    ("vWGTF1_PBE", [IonElectron, Hartree, vWGTF1, PerdewBurkeErnzerhof]),
+    ("WGC99_PZ81", [IonElectron, Hartree, WangGovindCarter99(),
+                    PerdewZunger]),
+    ("FM_Chachiyo", [IonElectron, Hartree, FoleyMadden(), Chachiyo]),
+    ("XWM_LDA", [IonElectron, Hartree, XuWangMa, lda_exchange]),
+]
+
+
+@pytest.mark.parametrize("name,terms", ANALYTIC_TERM_SETS,
+                         ids=[n for n, _ in ANALYTIC_TERM_SETS])
+def test_generic_pencil_analytic_gradient_parity(name, terms):
+    """The GENERIC distributed fused analytic gradient
+    (pchi_value_and_grad_analytic: models/potentials.py under
+    pencil_mode) matches the serial analytic sweep for non-WT term sets —
+    the round-3 'hardcoded WT+PBE only' restriction is lifted."""
+    from professad_tpu.parallel.pfft import pchi_value_and_grad_analytic
+    from professad_tpu.models.potentials import value_and_potential
+
+    mesh = _mesh8()
+    shape = (24, 24, 24)
+    den, vext = _fields(shape, seed=7)
+    box = jnp.asarray(7.9 * np.eye(3))
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    N_elec = float(jnp.mean(den) * vol)
+    chi = jnp.sqrt(den)
+
+    fn = shard_map(
+        lambda x, b, v: pchi_value_and_grad_analytic(
+            terms, x, b, v, N_elec, shape), mesh=mesh,
+        in_specs=(P("grid"), P(), P("grid", None, None)),
+        out_specs=(P(), P("grid")), check_vma=False)
+    E_d, g_d = jax.jit(fn)(chi.reshape(-1), box, vext)
+
+    def serial(chi_flat):
+        c = chi_flat.reshape(shape)
+        N_t = jnp.mean(c * c) * vol
+        d = (N_elec / N_t) * c * c
+        E, pot = value_and_potential(terms, box, d, vext, N_elec=N_elec)
+        quad_w = vol / d.size
+        mu = jnp.mean(pot * d) * vol / N_elec
+        g = (N_elec / N_t) * 2.0 * c * (pot - mu) * quad_w
+        return E, g.reshape(-1)
+
+    E_s, g_s = serial(chi.reshape(-1))
+    assert abs(float(E_d) - float(E_s)) / abs(float(E_s)) < 1e-12, name
+    gd, gs = np.asarray(g_d), np.asarray(g_s)
+    assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-11, name
+
+
+def test_mesh_analytic_whole_optimization_generic_terms():
+    """optimize_density(mesh=..., analytic=True) with a NON-WT+PBE term
+    set (vWGTF1+PBE): the generic distributed analytic gradient drives the
+    whole optimization to the serial ground state."""
     import os
     from professad_tpu.system import System
     from professad_tpu.models import IonIon
@@ -390,13 +464,107 @@ def test_mesh_analytic_requires_wt_pbe_terms():
     pot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "potentials", "al.gga.recpot")
     box_vecs = 4.050 * jnp.eye(3)
-    frac = jnp.zeros((1, 3))
-    terms = [IonIon, IonElectron, Hartree, ThomasFermi, Weizsaecker]
-    s = System(box_vecs, (16, 16, 16), [["Al", pot, frac]], terms,
-               units="a", coord_type="fractional")
-    with pytest.raises(ValueError, match="WT\\+PBE|WangTeter"):
-        s.optimize_density(jit_loop=True, n_method="TPGD", mesh=_mesh8(),
+    frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                        [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+    terms = [IonIon, IonElectron, Hartree, vWGTF1, PerdewBurkeErnzerhof]
+
+    def build():
+        return System(box_vecs, (16, 16, 16), [["Al", pot, frac]], terms,
+                      units="a", coord_type="fractional")
+
+    s_ser = build()
+    s_ser.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                           n_step_size=1.0, n_method="TPGD", skip_iters=2)
+    s_par = build()
+    s_par.optimize_density(ntol=1e-9, jit_loop=True, n_step_size=1.0,
+                           n_method="TPGD", skip_iters=2, mesh=_mesh8(),
                            analytic=True)
+    assert abs(s_par.energy("eV") - s_ser.energy("eV")) < 5e-8
+
+
+def test_hc_ladder_analytic_gradient_parity():
+    """The generic distributed ANALYTIC gradient for a LADDER term set
+    (Huang-Carter+PBE): the HC kernel-slab aux rides the k-pencil
+    sharding, the batched ladder convolution and its adjoint ride one
+    all_to_all each — (E, dE/dchi) matches the serial analytic sweep at
+    f64 machine precision (measured 1.1e-13)."""
+    from professad_tpu.parallel.pfft import (pchi_value_and_grad_analytic,
+                                             aux_pencil_specs)
+    from professad_tpu.models.potentials import value_and_potential
+
+    mesh = _mesh8()
+    shape = (24, 24, 24)
+    den, vext = _fields(shape, seed=3)
+    box = jnp.asarray(7.9 * np.eye(3))
+    vol = float(jnp.abs(jnp.linalg.det(box)))
+    N_elec = float(jnp.mean(den) * vol)
+    chi = jnp.sqrt(den)
+
+    hc = HuangCarter((0.01177, 0.7143, 1.2))
+    hc.prepare(box, den)
+    terms = [IonElectron, Hartree, hc.forward, PerdewBurkeErnzerhof]
+    aux = [None, None, hc.aux_arrays(), None]
+    specs = aux_pencil_specs(aux)
+
+    fn = shard_map(
+        lambda x, b, v, a: pchi_value_and_grad_analytic(
+            terms, x, b, v, N_elec, shape, aux=a), mesh=mesh,
+        in_specs=(P("grid"), P(), P("grid", None, None), specs),
+        out_specs=(P(), P("grid")), check_vma=False)
+    E_d, g_d = jax.jit(fn)(chi.reshape(-1), box, vext, aux)
+
+    def serial(chi_flat):
+        c = chi_flat.reshape(shape)
+        N_t = jnp.mean(c * c) * vol
+        d = (N_elec / N_t) * c * c
+        E, pot = value_and_potential(terms, box, d, vext, N_elec=N_elec,
+                                     aux=aux)
+        quad_w = vol / d.size
+        mu = jnp.mean(pot * d) * vol / N_elec
+        g = (N_elec / N_t) * 2.0 * c * (pot - mu) * quad_w
+        return E, g.reshape(-1)
+
+    E_s, g_s = serial(chi.reshape(-1))
+    assert abs(float(E_d) - float(E_s)) / abs(float(E_s)) < 1e-12
+    gd, gs = np.asarray(g_d), np.asarray(g_s)
+    assert np.max(np.abs(gd - gs)) / np.max(np.abs(gs)) < 1e-11
+
+
+def test_mesh_analytic_hc_ladder_whole_optimization():
+    """The generic distributed ANALYTIC gradient drives a LADDER term set
+    (Huang-Carter+PBE) end to end.  Bar: at ntol=1e-9 the dE rule exits
+    on a slow-mode plateau ~2.5e-3 eV wide for this HC parameterization
+    (measured: tightening to 1e-11 moves BOTH landings to -229.8049; at
+    1e-9 serial lands -229.802387, distributed -229.802402 — 1.5e-5
+    apart, ulp-level trajectory divergence on the same plateau).  5e-5
+    asserts same-plateau; the 1e-11 gradient-parity test above pins the
+    actual math."""
+    import os
+    from professad_tpu.system import System
+    from professad_tpu.models import IonIon
+
+    pot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "potentials", "al.gga.recpot")
+    box_vecs = 4.050 * jnp.eye(3)
+    frac = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                        [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+
+    def build():
+        return System(box_vecs, (16, 16, 16), [["Al", pot, frac]],
+                      [IonIon, IonElectron, Hartree,
+                       HuangCarter((0.01177, 0.7143, 1.2)),
+                       PerdewBurkeErnzerhof],
+                      units="a", coord_type="fractional")
+
+    s_ser = build()
+    s_ser.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                           n_step_size=1.0, n_method="TPGD", skip_iters=2,
+                           analytic=True)
+    s_par = build()
+    s_par.optimize_density(ntol=1e-9, jit_loop=True, n_step_size=1.0,
+                           n_method="TPGD", skip_iters=2, mesh=_mesh8(),
+                           analytic=True)
+    assert abs(s_par.energy("eV") - s_ser.energy("eV")) < 5e-5
 
 
 def _small_wt_system():
