@@ -191,12 +191,17 @@ def measure_roofline(system, chi0, box_vecs, v_ext, N_elec):
     if bw and fft_bytes:
         # Two FFT bounds: (a) single-touch "speed of light" (operands
         # touched exactly once — unattainable by any multi-pass FFT, kept
-        # for historical comparability); (b) the DEFENSIBLE multi-pass
-        # bound: 3 streaming passes per 3-D transform, which the backend
-        # FFT itself achieves in-program (measured 0.064 ms/transform at
-        # 128^3 vs the 0.062 ms 3-pass bound; docs/design.md "Roofline
-        # accounting").  The remaining gap to (b) is non-FFT elementwise
-        # work, which the XLA byte model above accounts for.
+        # for historical comparability); (b) an idealized multi-pass
+        # bound: 3 streaming passes per 3-D transform at peak HBM BW.
+        # Round-4 feedback-fed subtractive profiling (docs/design.md
+        # "Where the iteration time actually goes") corrected the round-3
+        # claim that the backend achieves (b): the backend's real marginal
+        # cost is 0.137 ms/transform at 128^3 (2.2x bound b) and
+        # 2.33 ms/transform at 256^3 (9x bound b) — the round-3
+        # 0.064 ms/transform figure came from identical-input reruns that
+        # the axon runtime can serve from residency.  The iteration is
+        # FFT-bound at the backend's achieved rate: ~63% of iteration
+        # time is inside the 15 transforms at 128^3, ~67% at 256^3.
         t_fft = fft_bytes / (bw * 1e9)
         pct_fft = 100.0 * t_fft / t_iter
         t_fft3 = 3.0 * t_fft
