@@ -345,6 +345,78 @@ def run_config(n, trials, measure_roofline_too=True):
     }
 
 
+def run_multigrid(n_coarse, n_fine, trials):
+    """Multigrid warm start for the large grid: converge n_coarse^3 from
+    the uniform start, band-limit-refine chi spectrally
+    (ops.grid.spectral_resample), finish at n_fine^3 — the whole chain
+    timed.  The fine solve enforces the same dE < 1e-7 eV criterion as
+    the cold start, so the headline convergence claim is unchanged; the
+    coarse seed only replaces the uniform initial guess.  New vs the
+    reference (single-grid).  Returns the result dict for extra."""
+    import jax
+    import jax.numpy as jnp
+    from professad_tpu.ops.grid import spectral_resample
+
+    cpu = jax.devices("cpu")[0]
+    systems, chis = {}, {}
+    for n in (n_coarse, n_fine):
+        with jax.default_device(cpu):
+            s = build_system((n, n, n))
+            den_np = np.asarray(s.density())
+        systems[n] = s
+        chis[n] = np.sqrt(den_np)
+    dev = jax.devices()[0]
+    dtype = jnp.float32
+    s_c, s_f = systems[n_coarse], systems[n_fine]
+    box_c = jax.device_put(jnp.asarray(np.asarray(s_c._box_vecs), dtype), dev)
+    box_f = jax.device_put(jnp.asarray(np.asarray(s_f._box_vecs), dtype), dev)
+    vext_c = jax.device_put(jnp.asarray(np.asarray(s_c._v_ext), dtype), dev)
+    vext_f = jax.device_put(jnp.asarray(np.asarray(s_f._v_ext), dtype), dev)
+    chi0_c = jax.device_put(jnp.asarray(chis[n_coarse], dtype), dev)
+    N_elec = float(s_c._N_elec)
+
+    resample = jax.jit(lambda c: spectral_resample(
+        c, (n_fine, n_fine, n_fine)))
+
+    def chain(chi0):
+        Mk_c = s_c._precond_kernel(box_c, N_elec)
+        st_c, it_c, conv_c = s_c._jit_tpgd_full(
+            chi0, box_c, vext_c, N_elec, 1.0, 1e-6, 3, 1000,
+            skip_iters=2, analytic=True, M_kernel=Mk_c)
+        chi_f = resample(st_c.x)
+        Mk_f = s_f._precond_kernel(box_f, N_elec)
+        st_f, it_f, conv_f = s_f._jit_tpgd_full(
+            chi_f, box_f, vext_f, N_elec, 1.0, 1e-7, 3, 1000,
+            skip_iters=2, analytic=True, M_kernel=Mk_f)
+        return st_c, st_f, conv_f
+
+    t0 = time.perf_counter()
+    st_c, st_f, conv = chain(chi0_c)
+    jax.block_until_ready(st_f.x)
+    log(f"[bench] multigrid compile+first {time.perf_counter() - t0:.1f}s: "
+        f"{int(st_c.n_iter)}+{int(st_f.n_iter)} iters, "
+        f"converged={bool(conv)}")
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        st_c, st_f, conv = chain(chi0_c)
+        jax.block_until_ready(st_f.x)
+        times.append(time.perf_counter() - t0)
+    t_med = float(np.median(times))
+    log(f"[bench] multigrid {n_coarse}->{n_fine}: "
+        f"times={['%.3f' % t for t in times]}s, "
+        f"iters {int(st_c.n_iter)}+{int(st_f.n_iter)}, "
+        f"converged={bool(conv)}, E={float(st_f.f):.9f} Ha")
+    return {
+        "time_s": round(t_med, 4),
+        "iters_coarse": int(st_c.n_iter),
+        "iters_fine": int(st_f.n_iter),
+        "converged": bool(conv),
+        "E_Ha": round(float(st_f.f), 9),
+        "trial_times_s": [round(t, 4) for t in times],
+    }
+
+
 def run_hp_smoke():
     """Driver-capturable high-precision-tier smoke (VERDICT round 3 #9):
     one tier-1 identity — the WangTeter functional derivative by jax.grad
@@ -431,6 +503,16 @@ def main():
             "ms_per_iter": big["extra"]["ms_per_iter"],
             "trial_times_s": big["extra"]["trial_times_s"],
         }
+        # multigrid warm start: converge 128^3, spectrally refine chi,
+        # finish 256^3 to the same dE < 1e-7 eV criterion — the whole
+        # chain timed (BENCH_MULTIGRID=0 skips)
+        if os.environ.get("BENCH_MULTIGRID", "1") != "0":
+            try:
+                result["extra"]["grid256_multigrid"] = run_multigrid(
+                    128, 256, max(3, trials))
+            except Exception as e:
+                log(f"[bench] multigrid failed: {e}")
+                result["extra"]["grid256_multigrid"] = None
 
     # on-TPU f64 pair-tier smoke: driver-verified datapoint for the hp-tier
     # claim (BENCH_HP=0 skips; default-on when a TPU is attached)

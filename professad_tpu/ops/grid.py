@@ -27,7 +27,7 @@ __all__ = [
     "reduced_gradient", "reduced_gradient_squared", "reduced_laplacian",
     "safe_sqrt", "volume", "rfft_shape", "inv3x3", "imul", "expi", "powr",
     "log_hp", "exp_hp", "rfftn", "irfftn", "set_fft_mode", "get_fft_mode",
-    "Spectrum",
+    "Spectrum", "spectral_resample",
 ]
 
 
@@ -653,6 +653,70 @@ def irfftn(X, shape):
         n_tot = shape[0] * shape[1] * shape[2]
         return y + dc / n_tot
     return jnp.fft.irfftn(X, shape)
+
+
+def spectral_resample(field, new_shape):
+    """Band-limited (Fourier) resampling of a periodic real field onto a
+    different grid over the SAME cell — the multigrid warm-start primitive
+    (converge on a coarse grid, refine spectrally, finish on the fine
+    grid; no reference analogue — the reference is single-grid).
+
+    Exact for fields band-limited below both grids' Nyquist shells: every
+    plane-wave component common to both grids is transferred with its
+    coefficient unchanged (tests/test_system_utils.py).  Self-conjugate
+    Nyquist modes of even axes cannot be split correctly between the +/-
+    frequencies of a finer grid, so the source's Nyquist planes are
+    dropped on every axis whose size changes — band-limiting, the standard
+    convention.  Works both up (zero-padding) and down (truncation);
+    output integrates to the same mean (DC is copied exactly).
+    """
+    old_shape = tuple(field.shape)
+    new_shape = tuple(int(n) for n in new_shape)
+    if len(old_shape) != 3 or len(new_shape) != 3:
+        raise ValueError("spectral_resample expects 3-D fields")
+    if old_shape == new_shape:
+        return field
+    F = rfftn(field)
+    m_old = old_shape[2] // 2 + 1
+    m_new = new_shape[2] // 2 + 1
+    G = jnp.zeros((new_shape[0], new_shape[1], m_new), dtype=F.dtype)
+
+    def blocks(n_old, n_new):
+        """(positive slice, old negative slice, new negative slice)
+        transferring every sub-Nyquist frequency; an unchanged axis
+        transfers everything (identity, Nyquist included)."""
+        if n_old == n_new:
+            return slice(0, n_old), None, None
+        m = min(n_old, n_new)
+        h = (m - 1) // 2  # highest transferred |frequency| (Nyquist dropped)
+        pos = slice(0, h + 1)
+        neg_old = slice(n_old - h, n_old) if h else None
+        neg_new = slice(n_new - h, n_new) if h else None
+        return pos, neg_old, neg_new
+
+    pos0, nold0, nnew0 = blocks(old_shape[0], new_shape[0])
+    pos1, nold1, nnew1 = blocks(old_shape[1], new_shape[1])
+    # last (halved) axis: columns 0..h2 (its Nyquist column dropped when
+    # the axis size changes and the smaller axis is even)
+    if old_shape[2] == new_shape[2]:
+        pos2 = slice(0, m_old)
+    else:
+        m2 = min(old_shape[2], new_shape[2])
+        h2 = (m2 - 1) // 2
+        pos2 = slice(0, h2 + 1)
+
+    row_pairs = [(pos0, pos0)]
+    if nold0 is not None:
+        row_pairs.append((nold0, nnew0))
+    col_pairs = [(pos1, pos1)]
+    if nold1 is not None:
+        col_pairs.append((nold1, nnew1))
+    for r_old, r_new in row_pairs:
+        for c_old, c_new in col_pairs:
+            G = G.at[r_new, c_new, pos2].set(F[r_old, c_old, pos2])
+    scale = (new_shape[0] * new_shape[1] * new_shape[2]) \
+        / (old_shape[0] * old_shape[1] * old_shape[2])
+    return irfftn(G * jnp.asarray(scale, field.dtype), new_shape)
 
 
 # ----------------------------- FFT derivatives -----------------------------

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.grid import (wavevecs, volume, safe_sqrt, inv3x3, rfftn,
-                       irfftn, wmean)
+                       irfftn, wmean, spectral_resample)
 from .models.kinetic_local import TF_COEFF
 from .ops.interp import interpolate
 from .ops import solvers
@@ -221,11 +221,25 @@ class System:
         self._den = jnp.full(self._shape, self._N_elec / self.volume("b3"),
                              dtype=jnp.float64)
 
-    def set_density(self, den):
+    def set_density(self, den, resample=False):
+        """Set the electron density (reference system.py set_density,
+        shape-strict).  ``resample=True`` additionally accepts a density
+        on a DIFFERENT grid over the same cell and band-limit-interpolates
+        it onto this system's grid (``ops.grid.spectral_resample``) —
+        the multigrid warm start: converge a coarse system, seed the fine
+        one, and ``optimize_density`` (which starts from the current
+        density) finishes in a few iterations.  The resampling happens in
+        chi = sqrt(n) space so the interpolated density is nonnegative by
+        construction, then renormalizes to the electron count."""
         if tuple(den.shape) != self._shape:
-            raise ValueError(
-                f"Shape of new density {tuple(den.shape)} must match the "
-                f"system's {self._shape}.")
+            if not resample:
+                raise ValueError(
+                    f"Shape of new density {tuple(den.shape)} must match "
+                    f"the system's {self._shape} (or pass resample=True).")
+            chi = safe_sqrt(jnp.asarray(den, dtype=jnp.float64))
+            chi = spectral_resample(chi, self._shape)
+            den = chi * chi
+            den = den * (self._N_elec / (wmean(den) * self.volume("b3")))
         self._den = jnp.asarray(den, dtype=jnp.float64)
         self._ene = self._compute_energy()
 

@@ -93,3 +93,55 @@ def test_precond_kernel_auto_selects_hvp_below_threshold():
     M = np.asarray(s._precond_kernel(s._box_vecs, Ne))
     M3 = np.asarray(s._jit_precond_kernel(s._box_vecs, Ne, None))
     assert np.array_equal(M, np.asarray(M3))
+
+
+def test_spectral_resample_band_limited_exact():
+    """Every plane-wave component below both grids' Nyquist shells must
+    transfer exactly: synthesize a field from a few low-k modes on 12^3,
+    resample up to 18^3 and 16^3 and down again, and compare against the
+    analytic evaluation on each target grid."""
+    from professad_tpu.ops.grid import spectral_resample
+
+    def synth(shape):
+        xs = [np.arange(n) / n for n in shape]
+        X, Y, Z = np.meshgrid(*xs, indexing="ij")
+        f = (0.7 + 0.3 * np.cos(2 * np.pi * (2 * X - Y))
+             + 0.2 * np.sin(2 * np.pi * (X + 3 * Z))
+             - 0.1 * np.cos(2 * np.pi * (4 * Y + Z)))
+        return jnp.asarray(f)
+
+    src = synth((12, 12, 12))
+    for target in ((18, 18, 18), (16, 16, 16), (12, 12, 18), (8, 12, 12)):
+        got = np.asarray(spectral_resample(src, target))
+        ref = np.asarray(synth(target))
+        assert np.max(np.abs(got - ref)) < 1e-12, target
+    # identity and mean preservation
+    same = np.asarray(spectral_resample(src, (12, 12, 12)))
+    assert np.array_equal(same, np.asarray(src))
+    up = spectral_resample(src, (20, 20, 20))
+    assert abs(float(jnp.mean(up)) - float(jnp.mean(src))) < 1e-13
+
+
+def test_multigrid_warm_start_lands_on_cold_start_energy():
+    """set_density(resample=True) seeds a fine grid from a coarse ground
+    state (the multigrid warm start); the warm-started optimization lands
+    on the cold-start ground-state energy (<= 1e-8 eV)."""
+    coarse = _fcc_al((12, 12, 12))
+    coarse.optimize_density(ntol=1e-7)
+
+    cold = _fcc_al((18, 18, 18))
+    cold.optimize_density(ntol=1e-7)
+    E_cold = cold.energy("eV")
+
+    warm = _fcc_al((18, 18, 18))
+    warm.set_density(coarse.density(), resample=True)
+    warm.optimize_density(ntol=1e-7)
+    assert abs(warm.energy("eV") - E_cold) < 1e-8
+
+
+def test_set_density_shape_mismatch_raises_without_resample():
+    s = _fcc_al((12, 12, 12))
+    bad = jnp.ones((10, 10, 10))
+    import pytest
+    with pytest.raises(ValueError, match="resample"):
+        s.set_density(bad)
