@@ -41,3 +41,37 @@ def test_spectral_conv_custom_vjp_matches_backend():
         jnp.fft.irfftn(K * jnp.fft.rfftn(x), shape))))(x)
     rel = float(jnp.max(jnp.abs(g1 - g2)) / jnp.max(jnp.abs(g2)))
     assert rel < 5e-6, rel
+
+
+def test_vpufft_stockham_matches_jnp_fft():
+    """The VPU-butterfly building block (ops/vpufft.py): forward and
+    inverse Stockham along the sublane axis vs jnp.fft at f32 tolerance,
+    interpret mode (runs on CPU; the TPU compile + tie-with-backend
+    measurement is recorded in the module docstring)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from professad_tpu.ops.vpufft import fft_sublane, ifft_sublane
+
+    rng = np.random.default_rng(0)
+    n, B = 32, 256
+    xr = jnp.asarray(rng.standard_normal((n, B)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((n, B)), jnp.float32)
+    ref = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=0)
+    gr, gi = fft_sublane(xr, xi, interpret=True)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(np.asarray(gr) - ref.real)) / scale < 1e-6
+    assert np.max(np.abs(np.asarray(gi) - ref.imag)) / scale < 1e-6
+    # inverse round trip
+    br, bi = ifft_sublane(gr, gi, interpret=True)
+    assert np.max(np.abs(np.asarray(br) - np.asarray(xr))) < 1e-5
+    assert np.max(np.abs(np.asarray(bi) - np.asarray(xi))) < 1e-5
+
+
+def test_vpufft_rejects_non_power_of_two():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from professad_tpu.ops.vpufft import fft_sublane
+    x = jnp.zeros((24, 128), jnp.float32)
+    with pytest.raises(ValueError, match="power-of-two"):
+        fft_sublane(x, x, interpret=True)
