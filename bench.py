@@ -298,10 +298,16 @@ def run_config(n, trials, measure_roofline_too=True):
         f"E={float(st.f):.9f} Ha")
 
     # ---- timed full optimizations from the uniform start ------------------
+    # each trial perturbs the start at 1e-7 relative: identical-input
+    # reruns of one executable can be served from the runtime's result
+    # residency on this machine (measured 0.000 s "trials"; docs/design.md),
+    # so no two timed calls may share an input
     times = []
-    for _ in range(trials):
+    for k in range(trials):
+        chi_k = chi0 * (1.0 + 1e-7 * (k + 1))
+        jax.block_until_ready(chi_k)
         t0 = time.perf_counter()
-        st, n_it, conv = full(chi0)
+        st, n_it, conv = full(chi_k)
         jax.block_until_ready(st.x)
         times.append(time.perf_counter() - t0)
     # median, not min: the r03 256^3 trials spread +-24% run to run, so the
@@ -396,10 +402,14 @@ def run_multigrid(n_coarse, n_fine, trials):
     log(f"[bench] multigrid compile+first {time.perf_counter() - t0:.1f}s: "
         f"{int(st_c.n_iter)}+{int(st_f.n_iter)} iters, "
         f"converged={bool(conv)}")
+    # per-trial input perturbation: see run_config (identical-input reruns
+    # can be served from result residency on this machine)
     times = []
-    for _ in range(trials):
+    for k in range(trials):
+        chi_k = chi0_c * (1.0 + 1e-7 * (k + 1))
+        jax.block_until_ready(chi_k)
         t0 = time.perf_counter()
-        st_c, st_f, conv = chain(chi0_c)
+        st_c, st_f, conv = chain(chi_k)
         jax.block_until_ready(st_f.x)
         times.append(time.perf_counter() - t0)
     t_med = float(np.median(times))
