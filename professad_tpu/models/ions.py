@@ -98,23 +98,18 @@ def lattice_sum(box_vecs, shape, cart_ion_coords, f_tilde, order=None):
     """F(r) = irfftn(S(q) f~(q)) / vol (parity: ion_utils.py:88-118).
 
     Pencil-aware: under ``ops.grid.pencil_mode`` (inside shard_map),
-    ``shape`` is the LOCAL axis-0 slab shape, the exact structure factor
-    is evaluated on this device's k-pencil (``wavevecs`` dispatches), and
-    the inverse transform is a pencil FFT — this is how the distributed
-    forces/stress rebuild v_ext(R, h) without gathering the grid.  The
-    PME path has no distributed form (its B-spline scatter crosses slab
-    boundaries); it raises under pencil_mode."""
+    ``shape`` is the LOCAL axis-0 slab shape, the structure factor —
+    exact (``wavevecs`` dispatches to the k-pencil) or PME (masked-slab
+    spread + pencil FFT + k-pencil deconvolution) — is evaluated on this
+    device's k-pencil, and the inverse transform is a pencil FFT — this
+    is how the distributed forces/stress rebuild v_ext(R, h) without
+    gathering the grid."""
     from ..ops import grid as _grid
     if order is None:
         S = structure_factor(box_vecs, shape, cart_ion_coords)
     else:
         if not (order % 2 == 0 and order >= 2):
             raise ValueError("PME requires an even order >= 2")
-        if _grid._PENCIL_AXIS is not None:
-            raise NotImplementedError(
-                "the PME structure factor has no distributed (pencil) "
-                "implementation — use the exact structure factor "
-                "(pme_order=None) with mesh-distributed forces/stress")
         S = structure_factor_spline(box_vecs, shape, cart_ion_coords, order)
     if _grid._PENCIL_AXIS is not None:
         from ..parallel import pfft
@@ -181,6 +176,27 @@ def _spread_scatter(shape, l0, l1, l2, M0, M1, M2):
     return Q.reshape(shape)
 
 
+def _spread_scatter_slab(local_shape, l0_local, l1, l2, M0, M1, M2):
+    """Zero-communication distributed charge spreading: every device runs
+    the SAME (ions x order^3) stencil over the replicated coordinates and
+    keeps only the rows that land in its axis-0 slab (``mode='drop'``
+    discards out-of-slab updates).  The per-device extra work is the
+    O(N_ions * order^3) stencil itself — negligible against the grid — so
+    the PME spread needs no halo exchange at all; the mod-N0 wrap rows
+    land on whichever device owns them.  The scatter transpose (forces /
+    stress autodiff) is the matching slab gather."""
+    w = (M0[:, None, None, :] * M1[None, :, None, :] * M2[None, None, :, :])
+    Q = jnp.zeros(local_shape, dtype=w.dtype)
+    order, n_ions = l1.shape
+    i0 = jnp.broadcast_to(l0_local[:, None, None, :],
+                          (order, order, order, n_ions)).reshape(-1)
+    i1 = jnp.broadcast_to(l1[None, :, None, :],
+                          (order, order, order, n_ions)).reshape(-1)
+    i2 = jnp.broadcast_to(l2[None, None, :, :],
+                          (order, order, order, n_ions)).reshape(-1)
+    return Q.at[i0, i1, i2].add(w.reshape(-1), mode="drop")
+
+
 def _spread_mxu(shape, l0, l1, l2, M0, M1, M2, ion_chunk=256):
     """MXU-native charge spreading: the per-ion B-spline stencil is a rank-1
     tensor S0_i (x) S1_i (x) S2_i, so the full spread is the contraction
@@ -233,14 +249,30 @@ def structure_factor_spline(box_vecs, shape, cart_ion_coords, order,
     (parity: ion_utils.py:218-286).
 
     ``method``: 'scatter' (fused scatter-add), 'mxu' (dense separable
-    contraction on the matrix unit), or 'auto' (scatter for few ions)."""
-    N0, N1, N2 = shape
+    contraction on the matrix unit), or 'auto' (scatter for few ions).
+
+    Pencil-aware: under ``ops.grid.pencil_mode`` (inside shard_map),
+    ``shape`` is the LOCAL axis-0 slab shape.  The spread runs as a
+    zero-communication masked scatter (:func:`_spread_scatter_slab` —
+    every device stencils the replicated coordinates and keeps its own
+    rows), the transform is the pencil rfftn, and the B-spline
+    deconvolution factors are evaluated on this device's global k-pencil
+    indices.  Same floating-point recipe as the serial form up to the
+    pencil FFT's reduction order."""
+    from ..ops import grid as _grid
+    ax = _grid._PENCIL_AXIS
+    N0, N1, N2 = shape  # LOCAL slab shape under pencil_mode
+    if ax is not None:
+        n_dev = jax.lax.axis_size(ax)
+        N0_glob = N0 * n_dev
+    else:
+        N0_glob = N0
     frac = cart_ion_coords @ inv3x3(box_vecs)
     # wrap into [0,1); done twice so values like -1e-16 -> 1.0 -> 0.0
     frac = frac - jnp.floor(frac)
     frac = frac - jnp.floor(frac)
 
-    u0 = frac[:, 0] * N0
+    u0 = frac[:, 0] * N0_glob
     u1 = frac[:, 1] * N1
     u2 = frac[:, 2] * N2
     f0 = jnp.floor(u0)
@@ -252,23 +284,39 @@ def structure_factor_spline(box_vecs, shape, cart_ion_coords, order,
     M2 = cardinal_b_spline_values(u2 - f2, order)
 
     orders = jnp.arange(order)[:, None]
-    l0 = jnp.mod(orders - f0.astype(jnp.int32), N0)  # (order, n_ions)
+    l0 = jnp.mod(orders - f0.astype(jnp.int32), N0_glob)  # (order, n_ions)
     l1 = jnp.mod(orders - f1.astype(jnp.int32), N1)
     l2 = jnp.mod(orders - f2.astype(jnp.int32), N2)
 
-    if method == "auto":
-        method = "mxu" if cart_ion_coords.shape[0] >= 512 else "scatter"
-    if method == "scatter":
-        Q = _spread_scatter(shape, l0, l1, l2, M0, M1, M2)
-    elif method == "mxu":
-        Q = _spread_mxu(shape, l0.T, l1.T, l2.T, M0.T, M1.T, M2.T)
+    if ax is not None:
+        # out-of-slab rows go to the out-of-bounds sentinel N0 (dropped by
+        # the scatter) rather than negative indices, which jnp would wrap
+        row0 = jax.lax.axis_index(ax) * N0
+        in_slab = (l0 >= row0) & (l0 < row0 + N0)
+        l0_local = jnp.where(in_slab, l0 - row0, N0)
+        Q = _spread_scatter_slab(shape, l0_local, l1, l2, M0, M1, M2)
     else:
-        raise ValueError("method must be 'auto', 'scatter' or 'mxu'")
-    Q_ft = rfftn(Q)
+        if method == "auto":
+            method = "mxu" if cart_ion_coords.shape[0] >= 512 else "scatter"
+        if method == "scatter":
+            Q = _spread_scatter(shape, l0, l1, l2, M0, M1, M2)
+        elif method == "mxu":
+            Q = _spread_mxu(shape, l0.T, l1.T, l2.T, M0.T, M1.T, M2.T)
+        else:
+            raise ValueError("method must be 'auto', 'scatter' or 'mxu'")
+    Q_ft = rfftn(Q)  # pencil-aware dispatch: k-slab (N0_glob, N1/P, m2)
 
     dtype = cart_ion_coords.dtype
-    b0 = exponential_spline_b(jnp.arange(Q_ft.shape[0], dtype=dtype), N0, order)
-    b1 = exponential_spline_b(jnp.arange(Q_ft.shape[1], dtype=dtype), N1, order)
+    b0 = exponential_spline_b(jnp.arange(Q_ft.shape[0], dtype=dtype),
+                              N0_glob, order)
+    if ax is not None:
+        n1loc = Q_ft.shape[1]
+        m1 = (jax.lax.axis_index(ax) * n1loc
+              + jnp.arange(n1loc)).astype(dtype)
+        b1 = exponential_spline_b(m1, N1, order)
+    else:
+        b1 = exponential_spline_b(jnp.arange(Q_ft.shape[1], dtype=dtype),
+                                  N1, order)
     b2 = exponential_spline_b(jnp.arange(Q_ft.shape[2], dtype=dtype), N2, order)
     B = b0[:, None, None] * b1[None, :, None] * b2[None, None, :]
     return jnp.conj(B * Q_ft)

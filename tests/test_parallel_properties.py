@@ -134,10 +134,32 @@ def test_geometry_relaxation_mesh_smoke():
     assert np.max(np.abs(F_ser)) < ftol
 
 
-def test_mesh_pme_forces_raise():
-    """PME has no distributed form: mesh-attached forces must raise with
-    an instructive error, not silently compute something else."""
+def test_mesh_pme_forces_parity():
+    """Distributed PME: the B-spline spread runs as a zero-communication
+    masked slab scatter (each device keeps its own rows of the replicated
+    stencil), the deconvolution on the k-pencil indices.  Forces through
+    the PME v_ext rebuild must match the serial PME path to roundoff."""
     s = _li2_system(pme_order=8)
+    s.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                       n_step_size=1.0, n_method="TPGD", skip_iters=2)
+    F_ser = np.asarray(s.forces())
+    assert np.max(np.abs(F_ser)) > 1e-4
+
     s.set_mesh(_mesh8())
-    with pytest.raises(NotImplementedError, match="PME"):
-        s.forces()
+    F_par = np.asarray(s.forces())
+    assert np.max(np.abs(F_par - F_ser)) / np.max(np.abs(F_ser)) < 1e-10
+
+
+def test_mesh_pme_stress_parity():
+    """Distributed stress through the PME structure factor (the v_ext
+    rebuild differentiates through the masked slab spread and the pencil
+    wavevecs)."""
+    s = _li2_system(pme_order=8)
+    s.optimize_density(ntol=1e-9, jit_loop=True, precondition=True,
+                       n_step_size=1.0, n_method="TPGD", skip_iters=2)
+    sig_ser = np.asarray(s.stress())
+
+    s.set_mesh(_mesh8())
+    sig_par = np.asarray(s.stress())
+    assert (np.max(np.abs(sig_par - sig_ser))
+            / np.max(np.abs(sig_ser))) < 1e-10
