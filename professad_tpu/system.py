@@ -245,6 +245,8 @@ class System:
 
     def set_electron_number(self, N):
         self._N_elec = N
+        # the memoized distributed chi-energy body closes over N_elec
+        self._mesh_chiE_for = None
 
     def detach(self):
         """No-op (JAX arrays carry no autograd graphs); kept for API parity."""
@@ -261,8 +263,14 @@ class System:
         through the pencil-FFT layer — the whole derivative surface of a
         grid that needs multiple chips stays multi-chip, instead of
         silently building full-grid single-device programs (round-3
-        VERDICT missing #1).  ``optimize_density(mesh=...)`` attaches the
-        mesh automatically.  New vs the reference (no distribution there).
+        VERDICT missing #1).  The implicit second-derivative surface
+        distributes too: ``pressure``/``enthalpy``/``bulk_modulus``/
+        ``elastic_constants``/``force_constants`` run their energy
+        closures and the CG Hessian solves on pencil slabs (the
+        ``ops.implicit`` IFT machinery operates on the globally-sharded
+        chi; only scalars and the (N_ions x 3)/(3 x 3) outputs leave the
+        mesh).  ``optimize_density(mesh=...)`` attaches the mesh
+        automatically.  New vs the reference (no distribution there).
         """
         if mesh is not None and "grid" not in mesh.axis_names:
             raise ValueError('mesh must have a "grid" axis')
@@ -1327,6 +1335,77 @@ class System:
     def _gs_chi(self):
         return safe_sqrt(self._den)
 
+    def _chi_sharded(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(self._gs_chi(),
+                              NamedSharding(mesh, P("grid", None, None)))
+
+    def _mesh_chi_energy_body(self, mesh):
+        """The chi-parameterized density-terms energy as a shard_map
+        program: ``psm(chi_sharded, h, cart) -> scalar`` with chi sharded
+        to the pencil slabs and (h, cart) replicated.
+
+        This is the distributed counterpart of the serial implicit-diff
+        closures (``_volume_energy_fn`` & co.): v_ext is rebuilt per-slab
+        from the exact structure factor on each device's k-pencil, the
+        normalization uses the psum'd ``wmean`` (``pencil_mode`` dispatch),
+        and the term bodies run under ``penergy_terms`` — any functional
+        set distributes.  The grid-free ion-ion sum is added OUTSIDE by
+        the callers (zero chi-dependence, so the IFT machinery sees the
+        identical Hessian).  Memoized per mesh so repeated property calls
+        reuse the traced program."""
+        if getattr(self, "_mesh_chiE_for", None) is mesh:
+            return self._mesh_chiE_fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from .ops.grid import pencil_mode
+        from .parallel.pfft import penergy_terms
+
+        has_ie = self._needs_vext()
+        local_shape = self._pencil_local_shape(mesh)
+        N_elec = self._N_elec
+
+        def body(chi_local, h, cart):
+            with pencil_mode("grid"):
+                v_ext = (self._potential_from_ions(h, cart, local_shape)
+                         if has_ie
+                         else jnp.zeros(local_shape, dtype=h.dtype))
+                N_tilde = wmean(chi_local * chi_local) * volume(h)
+            den = (N_elec / N_tilde) * chi_local * chi_local
+            return penergy_terms(self._terms, h, den, v_ext)
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P("grid", None, None), P(), P()),
+                       out_specs=P(), check_vma=False)
+        self._mesh_chiE_fn, self._mesh_chiE_for = fn, mesh
+        return fn
+
+    def _mesh_precond(self, mesh):
+        """The exact uniform-density spectral preconditioner applied as a
+        shard_map program (pencil FFTs, kernel slab sharded to the axis-1
+        k-pencil) — the distributed CG preconditioner for the implicit
+        second-derivative solves.  The kernel itself is built by the same
+        size dispatch as the serial/pencil optimizers
+        (``_precond_kernel``: full-grid HVP up to 256^3, radial surrogate
+        above)."""
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.pfft import prfftn, pirfftn
+
+        shape = self._shape
+        M = self._precond_kernel(self._box_vecs, self._N_elec)
+        M_sh = jax.device_put(M, NamedSharding(mesh, P(None, "grid", None)))
+
+        def body(q_local, M_slab):
+            X = prfftn(q_local)
+            return pirfftn(M_slab * X, shape)
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P("grid", None, None),
+                                 P(None, "grid", None)),
+                       out_specs=P("grid", None, None), check_vma=False)
+        return lambda q: fn(q, M_sh)
+
     def pressure(self, units="Ha/b3", requires_grad=False):
         """P = -dE/dV (system.py:499-522)."""
         P = self._compute_volume_derivatives(bulk_modulus=False)
@@ -1367,9 +1446,35 @@ class System:
 
         return energy
 
+    def _volume_energy_fn_mesh(self, mesh):
+        """Distributed counterpart of ``_volume_energy_fn``: same
+        (chi, vol) -> E closure with the density terms + ion-electron
+        energy as a shard_map program over the attached mesh and the
+        grid-free ion-ion sum added at the global level."""
+        box0 = self._box_vecs
+        vol0 = self.volume("b3")
+        frac = self._frac_ion_coords
+        has_ii = self._has_ion_ion()
+        psm = self._mesh_chi_energy_body(mesh)
+
+        def energy(chi, vol):
+            h = box0 * (vol / vol0) ** (1.0 / 3.0)
+            cart = frac @ h
+            e = psm(chi, h, cart)
+            if has_ii:
+                e = e + self._ion_ion_interaction(h, cart)
+            return e
+
+        return energy
+
     def _compute_volume_derivatives(self, bulk_modulus=True):
-        energy = self._volume_energy_fn()
-        chi0 = self._gs_chi()
+        mesh = self._mesh
+        if mesh is not None:
+            energy = self._volume_energy_fn_mesh(mesh)
+            chi0 = self._chi_sharded(mesh)
+        else:
+            energy = self._volume_energy_fn()
+            chi0 = self._gs_chi()
         vol0 = jnp.asarray(self.volume("b3"))
 
         if not bulk_modulus:
@@ -1377,7 +1482,8 @@ class System:
             dEdV = jax.grad(lambda v: energy(chi0, v))(vol0)
             return float(-dEdV)
 
-        pc = self._exact_precond(self._box_vecs, self._N_elec)
+        pc = (self._mesh_precond(mesh) if mesh is not None
+              else self._exact_precond(self._box_vecs, self._N_elec))
 
         def Ebar(vol):
             chi = implicit_ground_state(energy, chi0, (vol,), precond=pc)
@@ -1401,19 +1507,33 @@ class System:
         has_ie = self._needs_vext()
         has_ii = self._has_ion_ion()
         N_elec = self._N_elec
-        chi0 = self._gs_chi()
+        mesh = self._mesh
 
-        def energy(chi, h):
-            v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
-                     else self._v_ext)
-            N_tilde = wmean(chi * chi) * volume(h)
-            den = (N_elec / N_tilde) * chi * chi
-            e = self._density_terms_energy(h, den, v_ext)
-            if has_ii:
-                e = e + self._ion_ion_interaction(h, frac @ h)
-            return e
+        if mesh is not None:
+            chi0 = self._chi_sharded(mesh)
+            psm = self._mesh_chi_energy_body(mesh)
 
-        pc = self._exact_precond(box0, N_elec)
+            def energy(chi, h):
+                e = psm(chi, h, frac @ h)
+                if has_ii:
+                    e = e + self._ion_ion_interaction(h, frac @ h)
+                return e
+
+            pc = self._mesh_precond(mesh)
+        else:
+            chi0 = self._gs_chi()
+
+            def energy(chi, h):
+                v_ext = (self._potential_from_ions(h, frac @ h) if has_ie
+                         else self._v_ext)
+                N_tilde = wmean(chi * chi) * volume(h)
+                den = (N_elec / N_tilde) * chi * chi
+                e = self._density_terms_energy(h, den, v_ext)
+                if has_ii:
+                    e = e + self._ion_ion_interaction(h, frac @ h)
+                return e
+
+            pc = self._exact_precond(box0, N_elec)
 
         def Ebar(h):
             chi = implicit_ground_state(energy, chi0, (h,), precond=pc)
@@ -1459,19 +1579,33 @@ class System:
         box0 = self._box_vecs
         has_ii = self._has_ion_ion()
         N_elec = self._N_elec
-        chi0 = self._gs_chi()
         cart0 = self._frac_ion_coords @ box0
+        mesh = self._mesh
 
-        def energy(chi, cart):
-            v_ext = self._potential_from_ions(box0, cart)
-            N_tilde = wmean(chi * chi) * volume(box0)
-            den = (N_elec / N_tilde) * chi * chi
-            e = self._density_terms_energy(box0, den, v_ext)
-            if has_ii:
-                e = e + self._ion_ion_interaction(box0, cart)
-            return e
+        if mesh is not None:
+            chi0 = self._chi_sharded(mesh)
+            psm = self._mesh_chi_energy_body(mesh)
 
-        pc = self._exact_precond(box0, N_elec)
+            def energy(chi, cart):
+                e = psm(chi, box0, cart)
+                if has_ii:
+                    e = e + self._ion_ion_interaction(box0, cart)
+                return e
+
+            pc = self._mesh_precond(mesh)
+        else:
+            chi0 = self._gs_chi()
+
+            def energy(chi, cart):
+                v_ext = self._potential_from_ions(box0, cart)
+                N_tilde = wmean(chi * chi) * volume(box0)
+                den = (N_elec / N_tilde) * chi * chi
+                e = self._density_terms_energy(box0, den, v_ext)
+                if has_ii:
+                    e = e + self._ion_ion_interaction(box0, cart)
+                return e
+
+            pc = self._exact_precond(box0, N_elec)
 
         def forces_full(cart):
             Ebar = lambda c: energy(
@@ -1701,12 +1835,36 @@ class System:
         whole-optimization program (exact-preconditioned TPGD), optionally
         data-parallel over a mesh's "batch" axis — the natural TPU layout
         for EOS scans.  Leaves the System's state untouched.
+
+        ``mesh`` with a "grid" axis (or a mesh already attached via
+        ``set_mesh``/``optimize_density(mesh=...)``) routes each volume
+        point's density optimization through the distributed pencil solver
+        instead — the scan for grids that don't fit one chip.  Requires
+        ``batched=False`` (the two mesh layouts are mutually exclusive).
         """
         den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
                           "n_method": "LBFGS", "n_step_size": 0.1,
                           "n_maxiter": 1000, "conv_target": "dE",
                           "n_verbose": False, "from_uniform": False}
         den_opt_inputs.update(den_opt_kwargs)
+
+        grid_mesh = (mesh if (mesh is not None
+                              and "grid" in mesh.axis_names) else self._mesh)
+        if grid_mesh is not None and not batched:
+            # distributed volume scan: every per-volume solve runs on the
+            # pencil path (jit_loop is its precondition); the mesh stays
+            # attached so the final state's derivative surface is
+            # distributed too
+            from .models.potentials import supported_terms
+            den_opt_inputs.setdefault("jit_loop", True)
+            den_opt_inputs["mesh"] = grid_mesh
+            den_opt_inputs.setdefault("analytic",
+                                      supported_terms(self._terms))
+        elif grid_mesh is not None and batched:
+            raise ValueError(
+                'eos_fit(batched=True) uses a "batch" mesh axis; a "grid" '
+                "mesh (pencil-distributed per-volume solves) requires "
+                "batched=False")
 
         pred_v0 = self.volume("a3")
         norm_box_vecs = self.lattice_vectors("a") / pred_v0 ** (1.0 / 3.0)
@@ -1907,6 +2065,15 @@ class System:
             return frac, box
 
         geo_mesh = den_opt_kwargs.get("mesh", self._mesh)
+        if geo_mesh is not None and "mesh" not in den_opt_kwargs:
+            # mesh attached via set_mesh but not passed explicitly: the
+            # per-step density re-optimizations must also run distributed
+            # (a grid that needs the mesh cannot build the serial program)
+            from .models.potentials import supported_terms
+            den_opt_inputs["mesh"] = geo_mesh
+            den_opt_inputs.setdefault("jit_loop", True)
+            den_opt_inputs.setdefault("analytic",
+                                      supported_terms(self._terms))
         if geo_mesh is None:
             def geom_energy(x, chi):
                 # chi is an explicit argument: a closure capture would be
@@ -2061,19 +2228,52 @@ class System:
         if ftol is None and stol is None:
             raise ValueError("At least one of stol/ftol must not be None")
 
-        def geom_energy(p, chi):
-            # chi as an explicit argument — see optimize_geometry
-            box, frac = parameterized_geometry(p)
-            v_ext = (self._potential_from_ions(box, frac @ box)
-                     if self._needs_vext() else self._v_ext)
-            N_tilde = wmean(chi * chi) * volume(box)
-            den = (self._N_elec / N_tilde) * chi * chi
-            E = self._density_terms_energy(box, den, v_ext)
-            if self._has_ion_ion():
-                E = E + self._ion_ion_interaction(box, frac @ box)
-            return E
+        geo_mesh = den_opt_kwargs.get("mesh", self._mesh)
+        if geo_mesh is not None and "mesh" not in den_opt_kwargs:
+            # see optimize_geometry: a set_mesh-attached mesh routes the
+            # per-step density re-optimizations through the pencil solver
+            from .models.potentials import supported_terms
+            den_opt_inputs["mesh"] = geo_mesh
+            den_opt_inputs.setdefault("jit_loop", True)
+            den_opt_inputs.setdefault("analytic",
+                                      supported_terms(self._terms))
 
-        vg_chi = jax.jit(jax.value_and_grad(geom_energy))
+        if geo_mesh is None:
+            def geom_energy(p, chi):
+                # chi as an explicit argument — see optimize_geometry
+                box, frac = parameterized_geometry(p)
+                v_ext = (self._potential_from_ions(box, frac @ box)
+                         if self._needs_vext() else self._v_ext)
+                N_tilde = wmean(chi * chi) * volume(box)
+                den = (self._N_elec / N_tilde) * chi * chi
+                E = self._density_terms_energy(box, den, v_ext)
+                if self._has_ion_ion():
+                    E = E + self._ion_ion_interaction(box, frac @ box)
+                return E
+
+            vg_chi = jax.jit(jax.value_and_grad(geom_energy))
+            chi_of_den = lambda: safe_sqrt(self._den)
+        else:
+            # distributed parameter gradient: the memoized pencil
+            # chi-energy body (see _mesh_chi_energy_body) differentiates
+            # through the replicated (h, cart) arguments; the user's
+            # parameterization and the grid-free ion-ion sum stay outside
+            # the shard_map program
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            psm = self._mesh_chi_energy_body(geo_mesh)
+
+            def geom_energy_mesh(p, chi_sh):
+                box, frac = parameterized_geometry(p)
+                E = psm(chi_sh, box, frac @ box)
+                if self._has_ion_ion():
+                    E = E + self._ion_ion_interaction(box, frac @ box)
+                return E
+
+            vg_chi = jax.jit(jax.value_and_grad(geom_energy_mesh))
+            chi_of_den = lambda: jax.device_put(
+                safe_sqrt(self._den),
+                NamedSharding(geo_mesh, P("grid", None, None)))
+
         chi_holder = {}
         vg = lambda x: vg_chi(x, chi_holder["chi"])
 
@@ -2115,7 +2315,7 @@ class System:
         conv_counter = 0
         success_iter = None
         for it in range(1, round(g_maxiter) + 1):
-            chi_holder["chi"] = safe_sqrt(self._den)
+            chi_holder["chi"] = chi_of_den()
             params = opt.step(vg, params)
             apply_params(params)
             self.optimize_density(**den_opt_inputs)

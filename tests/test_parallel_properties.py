@@ -163,3 +163,39 @@ def test_mesh_pme_stress_parity():
     sig_par = np.asarray(s.stress())
     assert (np.max(np.abs(sig_par - sig_ser))
             / np.max(np.abs(sig_ser))) < 1e-10
+
+
+def test_parameterized_geometry_mesh_parity():
+    """optimize_parameterized_geometry with a set_mesh-attached mesh: the
+    parameter gradient evaluates through the distributed chi-energy body
+    (``_mesh_chi_energy_body``) and the per-step density re-optimizations
+    are routed onto the pencil solver automatically.
+
+    Parity is checked on ONE fixed TPGD step (p1 = p0 - lr * dE/dp, a
+    deterministic function of the parameter gradient): multi-step BB
+    trajectories divide by tiny gradient differences and amplify
+    density-convergence noise chaotically, so they are not a correctness
+    property (measured: two engines both converged to ntol=1e-9 diverge
+    by 0.14 in p after two BB steps while their gradients agree to
+    1e-15)."""
+    def geom(p):
+        box = p[0] * jnp.eye(3)
+        frac = jnp.asarray([[0.02, 0.05, 0.0], [0.5, 0.5, 0.47]])
+        return box, frac
+
+    kw = dict(ftol=None, stol=1e-5, g_maxiter=1, g_method="TPGD",
+              g_step_size=0.05, ntol=1e-9, jit_loop=True,
+              n_step_size=1.0, n_method="TPGD", skip_iters=2)
+
+    s_ser = _li2_system()
+    _, p_ser = s_ser.optimize_parameterized_geometry(
+        jnp.asarray([6.96]), geom, **kw)
+
+    s_par = _li2_system()
+    s_par.set_mesh(_mesh8())
+    _, p_par = s_par.optimize_parameterized_geometry(
+        jnp.asarray([6.96]), geom, **kw)
+    assert s_par._mesh is not None
+
+    # one step from the same start: dp = lr * (g_ser - g_par) exactly
+    assert np.max(np.abs(np.asarray(p_par) - np.asarray(p_ser))) < 1e-9
