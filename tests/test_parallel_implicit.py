@@ -9,14 +9,28 @@ solve, the gauge projection — operates unchanged on the globally-sharded
 chi (GSPMD supplies the psum'd inner products).  Parity with the serial
 implementations on the 8-device virtual CPU mesh.
 
-Wall-clock note: like ``test_second_derivatives``, these trace
-forward-over-reverse Hessian solves and are XLA-compile-heavy — keep this
-file out of quick sweeps.
+Wall-clock note: the forward-over-reverse Hessian-solve programs over the
+8-virtual-device mesh are EXTREMELY XLA:CPU-compile-heavy — the
+bulk-modulus program alone compiled for ~1.9 h on a single-core host
+(measured; parity 4.9e-12).  The K/elastic/force-constants tests are
+therefore gated behind ``PROFESSAD_HEAVY_MESH=1`` so the default suite
+stays runnable; the always-on tests here (distributed pressure/enthalpy,
+eos_fit over the mesh) cover the same ``_mesh_chi_energy_body`` program
+without the implicit-solve tracing.
 """
 
+import os
+
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
+heavy = pytest.mark.skipif(
+    not os.environ.get("PROFESSAD_HEAVY_MESH"),
+    reason="hours of XLA:CPU SPMD compile; set PROFESSAD_HEAVY_MESH=1 "
+           "(bulk-modulus parity was measured once at 4.9e-12, see "
+           "docs/round4_response.md)")
 
 from professad_tpu.system import System
 from professad_tpu.parallel import make_mesh
@@ -42,29 +56,36 @@ def _li2_system(shape=(16, 16, 16), box_len=6.96):
     return s
 
 
-def test_mesh_pressure_bulk_modulus_parity():
+def test_mesh_pressure_enthalpy_parity():
     """P (Hellmann-Feynman volume derivative, no implicit solve) at
-    roundoff parity; K (one distributed CG Hessian solve inside jacfwd of
-    grad) at CG-tolerance parity — the distributed solve psums partial
-    reductions in a different order, so agreement is bounded by the
-    Hessian-solve conditioning, not machine epsilon."""
+    roundoff parity through the distributed chi-energy body; enthalpy
+    rides the distributed pressure."""
     s = _li2_system()
     P_ser = s.pressure()
-    K_ser = s.bulk_modulus()
+    H_ser = s.enthalpy()
 
     s.set_mesh(_mesh8())
     P_par = s.pressure()
-    K_par = s.bulk_modulus()
+    H_par = s.enthalpy()
 
     assert abs(P_par - P_ser) / max(abs(P_ser), 1e-300) < 1e-9
-    assert abs(K_par - K_ser) / max(abs(K_ser), 1e-300) < 1e-7
-    # enthalpy rides the distributed pressure
-    H_par = s.enthalpy()
-    s.set_mesh(None)
-    H_ser = s.enthalpy()
     assert abs(H_par - H_ser) / max(abs(H_ser), 1e-300) < 1e-10
 
 
+@heavy
+def test_mesh_bulk_modulus_parity():
+    """K (one distributed CG Hessian solve inside jacfwd of grad) at
+    CG-tolerance parity — the distributed solve psums partial reductions
+    in a different order, so agreement is bounded by the Hessian-solve
+    conditioning, not machine epsilon.  Measured: 4.9e-12."""
+    s = _li2_system()
+    K_ser = s.bulk_modulus()
+    s.set_mesh(_mesh8())
+    K_par = s.bulk_modulus()
+    assert abs(K_par - K_ser) / max(abs(K_ser), 1e-300) < 1e-7
+
+
+@heavy
 def test_mesh_elastic_constants_parity():
     """All 21 Birch coefficients through the distributed
     forward-over-reverse implicit solves (9 tangents of the cell)."""
@@ -78,6 +99,7 @@ def test_mesh_elastic_constants_parity():
     assert np.max(np.abs(C_par - C_ser)) / scale < 1e-7
 
 
+@heavy
 def test_mesh_force_constants_parity():
     """Interatomic force constants through the distributed implicit
     ground state (6 coordinate tangents for Li2)."""
