@@ -545,9 +545,12 @@ class pencil_mode:
     the global grid; callers pass LOCAL shapes exactly as the serial code
     passes full shapes.
 
-    Ladder-based terms (the Huang-Carter family's batched 4-D transform)
-    are rejected with ``NotImplementedError``.  The context is trace-time
-    state, not runtime state — enter it inside the shard_map body.
+    Ladder-based terms (the Huang-Carter family's batched 4-D transform,
+    spline YukawaGGA, MGP) also distribute: the field-dependent
+    convolution's trailing ladder axis rides one batched all_to_all
+    (ops/fieldconv.py pencil branch; tests/test_parallel_generic.py).
+    The context is trace-time state, not runtime state — enter it inside
+    the shard_map body.
     """
 
     def __init__(self, axis_name="grid"):

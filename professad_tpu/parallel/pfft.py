@@ -39,6 +39,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops.grid import inv3x3, _freq_indices
+from ..utils.naming import term_name
 
 __all__ = ["prfftn", "pirfftn", "prfftn_dc", "pirfftn_dc", "pwavevecs",
            "pconv", "make_penergy", "pmean", "pqmean", "pwmean",
@@ -496,7 +497,7 @@ def penergy_terms(terms, box_vecs, den_local, v_ext_local,
     E = jnp.zeros((), dtype=den_local.dtype)
     with pencil_mode(axis_name):
         for i, f in enumerate(terms):
-            nm = getattr(f, "__name__", type(f).__name__)
+            nm = term_name(f)
             a = aux[i] if aux is not None else None
             if a is not None:
                 owner = getattr(f, "__self__", f)

@@ -23,6 +23,8 @@ as a JAX-first design:
   host-side whenever the cell changes (replaces torch-nl).
 """
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,9 +43,7 @@ from .utils.elastic import fit_eos
 __all__ = ["System"]
 
 
-def _term_name(f):
-    return (getattr(f, "__qualname__", None) or getattr(f, "__name__", None)
-            or type(f).__name__)
+from .utils.naming import term_name as _term_name  # shared with parallel.pfft
 
 
 class System:
@@ -315,14 +315,35 @@ class System:
             return self._v_ext * self.eV_per_Ha
         raise ValueError("units must be 'Ha' or 'eV'")
 
+    @staticmethod
+    def _warn_requires_grad(method):
+        """The reference returns graph-connected torch tensors from
+        density/energy/pressure/bulk_modulus(requires_grad=True)
+        (reference system.py:361-375, 459-480); here differentiable
+        ground-state workflows go through the functional transforms
+        ``gs_property_fn`` / ``gs_volume_property_fn`` instead.  A
+        migrating user passing the flag would otherwise silently get a
+        detached value — warn and point at the replacement."""
+        warnings.warn(
+            f"System.{method}(requires_grad=True) is a torch-ism with no "
+            "JAX equivalent: the returned value is NOT graph-connected. "
+            "For gradients of ground-state properties w.r.t. functional "
+            "parameters use System.gs_property_fn / gs_volume_property_fn "
+            "(implicit differentiation through the minimizer).",
+            UserWarning, stacklevel=3)
+
     def density(self, requires_grad=False):
         """Ground-state electron density.  (The ``requires_grad`` flag is a
         torch-ism; for differentiable ground-state workflows — gradients of
         density/energy targets w.r.t. functional parameters — use
         ``gs_property_fn``, reference system.py:361-375.)"""
+        if requires_grad:
+            self._warn_requires_grad("density")
         return self._den
 
     def energy(self, units="Ha", requires_grad=False):
+        if requires_grad:
+            self._warn_requires_grad("energy")
         E = float(self._ene)
         if units == "Ha":
             return E
@@ -827,6 +848,8 @@ class System:
     def functional_derivative(self, type="density", requires_grad=False):
         """delta E / delta n or delta E / delta chi in atomic units
         (system.py:414-447)."""
+        if requires_grad:
+            self._warn_requires_grad("functional_derivative")
         w = self.volume("b3") / self._den.size
         if type == "density":
             g = self._jit_dEdn(self._box_vecs, self._den, self._v_ext)
@@ -1408,6 +1431,8 @@ class System:
 
     def pressure(self, units="Ha/b3", requires_grad=False):
         """P = -dE/dV (system.py:499-522)."""
+        if requires_grad:
+            self._warn_requires_grad("pressure")
         P = self._compute_volume_derivatives(bulk_modulus=False)
         return P * self._pressure_unit(units)
 
@@ -1422,6 +1447,8 @@ class System:
     def bulk_modulus(self, units="Ha/b3", requires_grad=False):
         """K = V d2E/dV2 via implicit differentiation through the minimizer
         (system.py:542-566, 1225-1260)."""
+        if requires_grad:
+            self._warn_requires_grad("bulk_modulus")
         _, K = self._compute_volume_derivatives(bulk_modulus=True)
         return K * self._pressure_unit(units)
 
@@ -1848,8 +1875,17 @@ class System:
                           "n_verbose": False, "from_uniform": False}
         den_opt_inputs.update(den_opt_kwargs)
 
-        grid_mesh = (mesh if (mesh is not None
-                              and "grid" in mesh.axis_names) else self._mesh)
+        # A mesh counts as "grid-distributed" only if its grid axis is
+        # actually wider than one device — make_mesh always creates both
+        # ("batch", "grid") axes, so a pure data-parallel make_mesh(8,
+        # batch=8) has a size-1 grid axis and must route to the batched
+        # vmap scan, not the pencil path (round-4 regression fix).
+        def _has_wide_grid(m):
+            return (m is not None and "grid" in m.axis_names
+                    and m.shape["grid"] > 1)
+
+        grid_mesh = mesh if _has_wide_grid(mesh) else (
+            self._mesh if _has_wide_grid(self._mesh) else None)
         if grid_mesh is not None and not batched:
             # distributed volume scan: every per-volume solve runs on the
             # pencil path (jit_loop is its precondition); the mesh stays

@@ -85,3 +85,37 @@ def test_reference_basic_tutorial_flow():
     euler_max = system.check_density_convergence("euler")
     assert np.isfinite(system.energy("eV"))
     assert dEdchi_max < 1e-3 and euler_max < 1e-2  # converged diagnostics
+
+
+def test_requires_grad_warns_and_points_at_replacement():
+    """density/energy/pressure(requires_grad=True) is a torch-ism the JAX
+    rebuild cannot honor (values are not graph-connected); a migrating
+    user must get a warning naming gs_property_fn, not a silent detach
+    (reference system.py:361-375, 459-480)."""
+    import warnings
+    import jax.numpy as jnp
+    from professad_tpu.system import System
+    from professad_tpu.models import (IonIon, IonElectron, Hartree,
+                                      WangTeter, PerdewBurkeErnzerhof)
+    from paths import pot
+
+    box_vecs = 4.05 * jnp.asarray([[0.5, 0.5, 0.0],
+                                   [0.0, 0.5, 0.5],
+                                   [0.5, 0.0, 0.5]])
+    ions = [["Al", pot("al.gga.recpot"), jnp.zeros((1, 3))]]
+    terms = [IonIon, IonElectron, Hartree, WangTeter, PerdewBurkeErnzerhof]
+    s = System(box_vecs, (12, 12, 12), ions, terms, units="a",
+               coord_type="fractional")
+
+    for call in (lambda: s.density(requires_grad=True),
+                 lambda: s.energy(requires_grad=True)):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            call()
+        assert any("gs_property_fn" in str(w.message) for w in rec)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s.density()
+        s.energy()
+    assert not rec  # the default path stays silent
