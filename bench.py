@@ -342,6 +342,13 @@ def run_config(n, trials, measure_roofline_too=True):
             "pct_of_fft_stream_floor": round(pct_fft, 1) if pct_fft else None,
             "pct_of_multipass_fft_bound": (round(pct_fft3, 1)
                                            if pct_fft3 else None),
+            # round-5 re-baseline (docs/design.md "Round-5 go/no-go"):
+            # every alternative to the backend FFT measured at or below
+            # it (matmul-DFT, Pallas conv, packing/batching deltas, the
+            # composed VPU butterfly), so the citable roofline criterion
+            # is the XLA cost model; the idealized FFT bounds above stay
+            # for cross-round comparability only.
+            "roofline_criterion": "pct_of_xla_cost_model",
         })
     else:
         extra["ms_per_iter"] = round(t_best / max(iters, 1) * 1e3, 3)
@@ -429,6 +436,60 @@ def run_multigrid(n_coarse, n_fine, trials):
         "E_Ha": round(float(st_f.f), 9),
         "trial_times_s": [round(t, 4) for t in times],
     }
+
+
+def run_bfly_gonogo(n=256, iters=20):
+    """Driver-captured record of the round-5 butterfly-FFT go/no-go
+    (docs/design.md): the chained non-identical-input conv-pair timing,
+    backend ``irfftn(K * rfftn(x))`` vs the composed VPU pipeline
+    (``ops.vpufft.conv3_bfly``), at the production 256^3 size.  Measured
+    during round 5 at 6.266 vs 8.134 ms (composed 1.30x SLOWER) — the
+    no-go that re-baselined the roofline criterion; this keeps the claim
+    reproducible from BENCH_rN.json instead of resting on a builder-side
+    session."""
+    import jax
+    import jax.numpy as jnp
+    from professad_tpu.ops.vpufft import conv3_bfly
+
+    rng = np.random.default_rng(0)
+    shape = (n, n, n)
+    x0 = jnp.asarray(1.0 + 0.01 * rng.standard_normal(shape), jnp.float32)
+    kx = np.fft.fftfreq(n) * n
+    k2 = (kx[:, None, None] ** 2 + kx[None, :, None] ** 2
+          + kx[None, None, :] ** 2).astype(np.float32)
+    K_full = np.asarray(1.0 / (1.0 + 0.05 * k2), np.float32)
+    K_half = jnp.asarray(K_full[:, :, : n // 2 + 1])
+    K_t = jnp.asarray(np.ascontiguousarray(np.transpose(K_full, (2, 1, 0))))
+
+    @jax.jit
+    def step_backend(x):
+        y = jnp.fft.irfftn(K_half * jnp.fft.rfftn(x), shape)
+        return y / (1.0 + jnp.mean(y * y))  # feedback: next input differs
+
+    @jax.jit
+    def step_bfly(x):
+        y = conv3_bfly(x, K_t)
+        return y / (1.0 + jnp.mean(y * y))
+
+    yb, yv = step_backend(x0), step_bfly(x0)
+    rel = float(jnp.max(jnp.abs(yb - yv)) / jnp.max(jnp.abs(yb)))
+
+    def timeit(step):
+        x = x0
+        for _ in range(3):
+            x = step(x)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        jax.block_until_ready(x)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    tb, tv = timeit(step_backend), timeit(step_bfly)
+    log(f"[bench] bfly go/no-go {n}^3: backend {tb:.3f} ms, composed "
+        f"{tv:.3f} ms (ratio {tv / tb:.2f}x), rel err {rel:.2e}")
+    return {"backend_pair_ms": round(tb, 3), "bfly_pair_ms": round(tv, 3),
+            "ratio": round(tv / tb, 3), "rel_err": rel}
 
 
 def run_hp_smoke():
@@ -527,6 +588,14 @@ def main():
             except Exception as e:
                 log(f"[bench] multigrid failed: {e}")
                 result["extra"]["grid256_multigrid"] = None
+
+    # round-5 butterfly no-go record (BENCH_BFLY=0 skips)
+    if backend != "cpu" and os.environ.get("BENCH_BFLY", "1") != "0":
+        try:
+            result["extra"]["bfly_gonogo_256"] = run_bfly_gonogo()
+        except Exception as e:
+            log(f"[bench] bfly go/no-go failed: {e}")
+            result["extra"]["bfly_gonogo_256"] = None
 
     # on-TPU f64 pair-tier smoke: driver-verified datapoint for the hp-tier
     # claim (BENCH_HP=0 skips; default-on when a TPU is attached)

@@ -812,25 +812,47 @@ class System:
         if self._mesh is not None and tuple(den.shape) == self._shape:
             # distributed energy assembly: the GSPMD fallback would
             # all-gather the grid per FFT (and OOM a >single-chip grid);
-            # run the term sum through the pencil layer instead
+            # run the term sum through the pencil layer instead.  The
+            # fixed-cell energy path CAN thread the term-aux hoists (the
+            # HC-family kernel slab stacks are density-independent), so
+            # distributed HC energies skip the dominant in-trace kernel
+            # interpolation; the cell-differentiated mesh paths
+            # (_compute_stress_mesh, _mesh_chi_energy_body) must NOT —
+            # the hoisted tables are wavevec(h)-dependent and passing
+            # them as arguments would silently freeze dE/dh.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = self._mesh
-            if getattr(self, "_mesh_energy_for", None) is not mesh:
+            aux = self._collect_term_aux()
+            aux_tag = (aux is not None)
+            if getattr(self, "_mesh_energy_for", None) != (mesh, aux_tag):
                 from jax import shard_map
-                from .parallel.pfft import penergy_terms
-                fn = shard_map(
-                    lambda b, d, v: penergy_terms(self._terms, b, d, v),
-                    mesh=mesh,
-                    in_specs=(P(), P("grid", None, None),
-                              P("grid", None, None)),
-                    out_specs=P(), check_vma=False)
+                from .parallel.pfft import penergy_terms, aux_pencil_specs
+                if aux is None:
+                    fn = shard_map(
+                        lambda b, d, v: penergy_terms(self._terms, b, d, v),
+                        mesh=mesh,
+                        in_specs=(P(), P("grid", None, None),
+                                  P("grid", None, None)),
+                        out_specs=P(), check_vma=False)
+                else:
+                    fn = shard_map(
+                        lambda b, d, v, a: penergy_terms(
+                            self._terms, b, d, v, aux=a),
+                        mesh=mesh,
+                        in_specs=(P(), P("grid", None, None),
+                                  P("grid", None, None),
+                                  aux_pencil_specs(aux)),
+                        out_specs=P(), check_vma=False)
                 self._mesh_energy_fn = jax.jit(fn)
-                self._mesh_energy_for = mesh
+                self._mesh_energy_for = (mesh, aux_tag)
             sh = NamedSharding(mesh, P("grid", None, None))
-            E = self._mesh_energy_fn(box_vecs, jax.device_put(den, sh),
-                                     jax.device_put(v_ext.astype(den.dtype),
-                                                    sh))
+            args = (box_vecs, jax.device_put(den, sh),
+                    jax.device_put(v_ext.astype(den.dtype), sh))
+            if aux is not None:
+                E = self._mesh_energy_fn(*args, aux)
+            else:
+                E = self._mesh_energy_fn(*args)
         else:
             E = self._density_terms_energy(box_vecs, den, v_ext)
         if self._has_ion_ion() and not for_den_opt:
@@ -1376,7 +1398,14 @@ class System:
         set distributes.  The grid-free ion-ion sum is added OUTSIDE by
         the callers (zero chi-dependence, so the IFT machinery sees the
         identical Hessian).  Memoized per mesh so repeated property calls
-        reuse the traced program."""
+        reuse the traced program.
+
+        Term-aux hoists are deliberately NOT threaded here: every caller
+        differentiates w.r.t. the cell (volume/strain/parameter
+        derivatives), and the hoisted HC-family kernel tables depend on
+        wavevecs(h) — passing them as arguments would freeze that
+        dependence and silently corrupt dE/dh.  The fixed-cell
+        ``_compute_energy`` mesh branch threads them instead."""
         if getattr(self, "_mesh_chiE_for", None) is mesh:
             return self._mesh_chiE_fn
         from jax import shard_map

@@ -20,3 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", "cpu")
+
+# Persistent compilation cache: XLA:CPU compiles the whole-program solver
+# and implicit-derivative executables slowly on single-core hosts; caching
+# them makes every suite run after the first start in seconds.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -75,3 +75,56 @@ def test_vpufft_rejects_non_power_of_two():
     x = jnp.zeros((24, 128), jnp.float32)
     with pytest.raises(ValueError, match="power-of-two"):
         fft_sublane(x, x, interpret=True)
+
+
+def test_vpufft_composed_conv3_matches_fftn():
+    """The round-5 go/no-go composition (conv3_bfly: real sublane forward,
+    middle-axis Stockham, transpose sandwich, fused z-conv) matches
+    ifftn(K * fftn(x)).real in interpret mode.  The TPU decision
+    measurement (NO-GO: 1.30x slower than the backend at 256^3) is
+    recorded in the module docstring and docs/design.md."""
+    import numpy as np
+    import jax.numpy as jnp
+    from professad_tpu.ops.vpufft import (conv3_bfly, fft_mid, ifft_mid,
+                                          fft_sublane_real,
+                                          ifft_sublane_real_out, sublane_conv)
+
+    rng = np.random.default_rng(3)
+    n = 16
+    x = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+
+    # real-input forward and real-output inverse round trip
+    r, i = fft_sublane_real(x.reshape(n, -1), interpret=True)
+    ref = np.fft.fft(np.asarray(x.reshape(n, -1)), axis=0)
+    s = np.max(np.abs(ref))
+    assert np.max(np.abs(np.asarray(r) - ref.real)) / s < 1e-6
+    back = ifft_sublane_real_out(r, i, interpret=True)
+    assert np.max(np.abs(np.asarray(back) - np.asarray(x.reshape(n, -1)))) < 1e-5
+
+    # middle-axis kernel
+    xr = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    mr, mi = fft_mid(xr, xi, interpret=True)
+    refm = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=1)
+    sm = np.max(np.abs(refm))
+    assert np.max(np.abs(np.asarray(mr) - refm.real)) / sm < 1e-6
+    br, bi = ifft_mid(mr, mi, interpret=True)
+    assert np.max(np.abs(np.asarray(br) - np.asarray(xr))) < 1e-5
+
+    # fused sublane convolution
+    k = jnp.asarray(rng.standard_normal((n, n * n)), jnp.float32)
+    cr, ci = sublane_conv(x.reshape(n, -1), jnp.zeros((n, n * n), jnp.float32),
+                          k, interpret=True)
+    refc = np.fft.ifft(np.asarray(k) * np.fft.fft(
+        np.asarray(x.reshape(n, -1)), axis=0), axis=0)
+    assert np.max(np.abs(np.asarray(cr) - refc.real)) < 1e-5
+
+    # the full composed 3-D conv with a Hermitian-even (real-output) kernel
+    Kf = rng.standard_normal((n, n, n)).astype(np.float32)
+    idx = (np.arange(n) * -1) % n
+    Kf = 0.5 * (Kf + Kf[np.ix_(idx, idx, idx)])
+    y = conv3_bfly(x, jnp.asarray(np.transpose(Kf, (2, 1, 0))),
+                   interpret=True)
+    ref3 = np.fft.ifftn(Kf * np.fft.fftn(np.asarray(x))).real
+    assert (np.max(np.abs(np.asarray(y) - ref3))
+            / np.max(np.abs(ref3))) < 1e-6
