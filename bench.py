@@ -438,6 +438,103 @@ def run_multigrid(n_coarse, n_fine, trials):
     }
 
 
+def run_eos_batched(n=128, N_points=9):
+    """Driver-timed batched EOS scan (VERDICT r04 missing #4): ONE vmapped
+    whole-optimization program over all volume points — the TPU-native
+    data-parallel EOS layout — vs the reference-style serial volume scan,
+    both on the TPU at a production grid.  Reports wall times and the
+    fitted (K0 [GPa], V0 [A^3/atom]) parity."""
+    import jax
+
+    system = build_system((n, n, n))
+    t0 = time.perf_counter()
+    p_ser, _ = system.eos_fit(
+        f=0.05, N=N_points, ntol=1e-7, jit_loop=True, precondition=True,
+        n_method="TPGD", n_step_size=1.0, skip_iters=2, analytic=True)
+    t_ser = time.perf_counter() - t0
+
+    s2 = build_system((n, n, n))
+    # compile + first call
+    t0 = time.perf_counter()
+    p_bat, _ = s2.eos_fit(f=0.05, N=N_points, ntol=1e-7, batched=True,
+                          n_method="TPGD", n_step_size=1.0, analytic=True)
+    t_first = time.perf_counter() - t0
+    # steady-state rerun (different f so inputs differ: no result residency)
+    t0 = time.perf_counter()
+    p_bat2, _ = s2.eos_fit(f=0.0501, N=N_points, ntol=1e-7, batched=True,
+                           n_method="TPGD", n_step_size=1.0, analytic=True)
+    t_bat = time.perf_counter() - t0
+
+    K_rel = abs(float(p_bat[0]) - float(p_ser[0])) / abs(float(p_ser[0]))
+    V_rel = abs(float(p_bat[3]) - float(p_ser[3])) / abs(float(p_ser[3]))
+    log(f"[bench] eos_batched {n}^3 x{N_points}: serial {t_ser:.3f}s, "
+        f"batched {t_bat:.3f}s (first+compile {t_first:.1f}s); "
+        f"K0 {float(p_bat[0]):.2f} vs {float(p_ser[0]):.2f} GPa "
+        f"(rel {K_rel:.1e}), V0 rel {V_rel:.1e}")
+    return {"serial_scan_s": round(t_ser, 3),
+            "batched_scan_s": round(t_bat, 3),
+            "speedup": round(t_ser / t_bat, 2),
+            "K0_GPa_serial": round(float(p_ser[0]), 3),
+            "K0_GPa_batched": round(float(p_bat[0]), 3),
+            "K0_rel_diff": K_rel, "V0_rel_diff": V_rel}
+
+
+def run_hp_denopt(n=48):
+    """End-to-end f64-correctness-tier datapoint ON TPU (VERDICT r04 next
+    #6): a whole density optimization on the pair-FFT f64 tier (fcc-Al
+    WT+PBE, dE < 1e-7 eV) with energy parity vs the CPU f64 reference."""
+    import jax
+    import jax.numpy as jnp
+    from professad_tpu.ops import grid
+
+    # CPU f64 reference
+    with jax.default_device(jax.devices("cpu")[0]):
+        s_ref = build_system((n, n, n))
+        s_ref.optimize_density(ntol=1e-7, jit_loop=True, precondition=True,
+                               n_method="TPGD", n_step_size=1.0, skip_iters=2)
+        chi0_np = np.sqrt(np.asarray(s_ref.density())).reshape(-1)
+        box_np = np.asarray(s_ref._box_vecs)
+        vext_np = np.asarray(s_ref._v_ext)
+        N_elec = float(s_ref._N_elec)
+
+    dev = jax.devices()[0]
+    # f64 arrays on the TPU; pair-FFT mode emulates the f64 transforms
+    chi0 = jax.device_put(jnp.asarray(
+        np.full_like(chi0_np, chi0_np.mean())), dev)
+    box = jax.device_put(jnp.asarray(box_np), dev)
+    vext = jax.device_put(jnp.asarray(vext_np), dev)
+    grid.set_fft_mode("pair")
+    try:
+        Mk = s_ref._precond_kernel(box, N_elec)
+        t0 = time.perf_counter()
+        st, n_it, conv = s_ref._jit_tpgd_full(
+            chi0, box, vext, N_elec, 1.0, 1e-7, 3, 500,
+            skip_iters=2, analytic=True, M_kernel=Mk)
+        jax.block_until_ready(st.x)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st, n_it, conv = s_ref._jit_tpgd_full(
+            chi0 * (1.0 + 1e-9), box, vext, N_elec, 1.0, 1e-7, 3, 500,
+            skip_iters=2, analytic=True, M_kernel=Mk)
+        jax.block_until_ready(st.x)
+        t_run = time.perf_counter() - t0
+    finally:
+        grid.set_fft_mode("native")
+    eV = 27.211386245988
+    # compare DENSITY-TERMS energies (the optimized objective; the ion-ion
+    # constant is state-independent and identical by construction)
+    E_tpu = float(st.f) * eV / s_ref._N_ions
+    with jax.default_device(jax.devices("cpu")[0]):
+        E_cpu = float(s_ref._compute_energy(
+            for_den_opt=True)) * eV / s_ref._N_ions
+    dE = abs(E_tpu - E_cpu)
+    log(f"[bench] hp denopt {n}^3 pair-tier on TPU: {t_run:.3f}s "
+        f"({int(n_it)} iters, first+compile {t_first:.1f}s), "
+        f"|E - E_cpu_f64| = {dE:.2e} eV/atom, converged={bool(conv)}")
+    return {"time_s": round(t_run, 4), "iters": int(n_it),
+            "converged": bool(conv), "abs_dE_eV_per_atom": dE}
+
+
 def run_bfly_gonogo(n=256, iters=20):
     """Driver-captured record of the round-5 butterfly-FFT go/no-go
     (docs/design.md): the chained non-identical-input conv-pair timing,
@@ -588,6 +685,45 @@ def main():
             except Exception as e:
                 log(f"[bench] multigrid failed: {e}")
                 result["extra"]["grid256_multigrid"] = None
+
+    # >256^3 tier (VERDICT r04 next #5): the largest single-chip-fitting
+    # grid — exercises the radial-preconditioner branch (fires above
+    # 256^3, system.py _precond_kernel) and the lean-memory solver carries
+    # under driver capture.  BENCH_XL picks the size (default 320).
+    if backend != "cpu" and os.environ.get("BENCH_XL", "320") != "0":
+        n_xl = int(os.environ.get("BENCH_XL", "320"))
+        try:
+            xl = run_config(n_xl, max(3, trials), measure_roofline_too=False)
+            sys_probe = build_system((n_xl,) * 3)
+            radial = (int(np.prod((n_xl,) * 3)) > 256 ** 3
+                      and not sys_probe._has_prepare_terms())
+            result["extra"][f"grid{n_xl}"] = {
+                "time_s": xl["value"], "iters": xl["extra"]["iters"],
+                "converged": xl["extra"]["converged"],
+                "ms_per_iter": xl["extra"]["ms_per_iter"],
+                "trial_times_s": xl["extra"]["trial_times_s"],
+                "radial_precond_branch": bool(radial),
+            }
+        except Exception as e:
+            log(f"[bench] grid{n_xl} failed: {e}")
+            result["extra"][f"grid{n_xl}"] = None
+
+    # batched EOS scan on the TPU (BENCH_EOS=0 skips)
+    if backend != "cpu" and os.environ.get("BENCH_EOS", "1") != "0":
+        try:
+            result["extra"]["eos_batched"] = run_eos_batched()
+        except Exception as e:
+            log(f"[bench] eos_batched failed: {e}")
+            result["extra"]["eos_batched"] = None
+
+    # end-to-end pair-tier (f64-on-TPU) density optimization
+    # (BENCH_HP_DENOPT=0 skips)
+    if backend != "cpu" and os.environ.get("BENCH_HP_DENOPT", "1") != "0":
+        try:
+            result["extra"]["hp_denopt"] = run_hp_denopt()
+        except Exception as e:
+            log(f"[bench] hp_denopt failed: {e}")
+            result["extra"]["hp_denopt"] = None
 
     # round-5 butterfly no-go record (BENCH_BFLY=0 skips)
     if backend != "cpu" and os.environ.get("BENCH_BFLY", "1") != "0":

@@ -140,3 +140,20 @@ def test_eos_fit_grid_mesh():
     # relative on K0' (measured); E0/V0 agree at 1e-8.
     assert np.max(np.abs(p_par - p_ser) / np.maximum(np.abs(p_ser), 1e-12)) \
         < 2e-4
+
+
+def test_mesh_bulk_modulus_parity_smoke():
+    """NON-GATED tiny distributed-K parity (round-4 VERDICT missing #3):
+    the full IFT machinery — custom_jvp, distributed CG Hessian solve,
+    _mesh_chi_energy_body, _mesh_precond — over a 2-device mesh at 8^3,
+    small enough for XLA:CPU's SPMD compiler (the physical-size version
+    stays behind PROFESSAD_HEAVY_MESH).  The canonical program is shared
+    verbatim with ``__graft_entry__.dryrun_multichip``'s K stage so ONE
+    persistent-cache entry serves the suite and the driver artifact."""
+    s = _li2_system((8, 8, 8))
+    K_ser = s.bulk_modulus()
+
+    devs = jax.devices("cpu")
+    s.set_mesh(make_mesh(2, batch=1, devices=devs[:2]))
+    K_par = s.bulk_modulus()
+    assert abs(K_par - K_ser) / max(abs(K_ser), 1e-300) < 1e-7, (K_par, K_ser)

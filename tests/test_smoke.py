@@ -80,7 +80,7 @@ def test_geometry_optimization_runs_and_reduces_force():
                   n_method="TPGD", n_step_size=1.0, skip_iters=2)
     s.optimize_density(**den_kw)
     F0 = float(jnp.max(jnp.abs(s.forces())))
-    s.optimize_geometry(ftol=1e-3, max_iter=4, method="TPGD",
+    s.optimize_geometry(ftol=1e-3, stol=None, g_maxiter=4, g_method="TPGD",
                         g_step_size=0.5, **den_kw)
     F1 = float(jnp.max(jnp.abs(s.forces())))
     assert np.isfinite(F1) and F1 < F0
