@@ -73,8 +73,7 @@ class System:
         self._process_ions(ions, coord_type, units)
         self._build_compiled()
         self._update_ionic_potential()
-        self.initialize_density()
-        self._ene = self._compute_energy()
+        self.initialize_density()  # updates self._ene
 
     # ------------------------------------------------------------------
     # setup / state updates
@@ -217,9 +216,22 @@ class System:
         self._ene = self._compute_energy()
 
     def initialize_density(self):
-        """Uniform density n = N_e / vol (system.py:218-222)."""
-        self._den = jnp.full(self._shape, self._N_elec / self.volume("b3"),
-                             dtype=jnp.float64)
+        """Uniform density n = N_e / vol (system.py:218-222), and refresh
+        the stored energy so ``energy()`` reflects the reset (the reference
+        leaves the stale pre-reset energy in place until the next
+        optimization).
+
+        A linear-response screened start (dn(k) = -v_ext(k)/F(k) via the
+        exact-preconditioner Hessian diagonal) was prototyped and measured
+        — NO-GO; see docs/design.md "Round-5: linear-response
+        initialization go/no-go".
+        """
+        self._den = self._uniform_density()
+        self._ene = self._compute_energy()
+
+    def _uniform_density(self):
+        return jnp.full(self._shape, self._N_elec / self.volume("b3"),
+                        dtype=jnp.float64)
 
     def set_density(self, den, resample=False):
         """Set the electron density (reference system.py set_density,
@@ -973,11 +985,11 @@ class System:
         pencil path's production value of 1 — every-iteration checks).
         """
         if from_uniform:
-            self.initialize_density()
+            self._den = self._uniform_density()
         else:
             current_den = self._den
             current_E = self._compute_energy(for_den_opt=True)
-            self.initialize_density()
+            self._den = self._uniform_density()
             uniform_E = self._compute_energy(for_den_opt=True)
             if float(current_E) < float(uniform_E):
                 self._den = current_den

@@ -102,6 +102,19 @@ def test_jit_loop_matches_host_loop_all_conv_targets():
         sys_.optimize_density(jit_loop=True, conv_target="bogus")
 
 
+def test_initialize_density_refreshes_energy():
+    """initialize_density() must refresh the stored energy so energy()
+    reflects the uniform reset (the reference leaves the stale pre-reset
+    value in place; docs/design.md round-5 note)."""
+    sys_ = _fcc_al_system(WangTeter, ecut_eV=600)
+    E_uniform = sys_.energy("eV")
+    sys_.optimize_density(ntol=1e-4)
+    E_min = sys_.energy("eV")
+    assert E_min < E_uniform - 1e-3
+    sys_.initialize_density()
+    assert abs(sys_.energy("eV") - E_uniform) < 1e-9
+
+
 def test_convergence_measures_consistent():
     """max |dE/dchi| reported by the optimizer equals the value rebuilt from
     the density-space functional derivative and the chain rule."""
