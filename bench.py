@@ -668,13 +668,17 @@ def main():
     # Rides in "extra" so the driver's one-line contract is preserved.
     if (backend != "cpu" and n == 128
             and os.environ.get("BENCH_LARGE", "1") != "0"):
-        big = run_config(256, max(3, trials), measure_roofline_too=False)
-        result["extra"]["grid256"] = {
-            "time_s": big["value"], "iters": big["extra"]["iters"],
-            "converged": big["extra"]["converged"],
-            "ms_per_iter": big["extra"]["ms_per_iter"],
-            "trial_times_s": big["extra"]["trial_times_s"],
-        }
+        try:
+            big = run_config(256, max(3, trials), measure_roofline_too=False)
+            result["extra"]["grid256"] = {
+                "time_s": big["value"], "iters": big["extra"]["iters"],
+                "converged": big["extra"]["converged"],
+                "ms_per_iter": big["extra"]["ms_per_iter"],
+                "trial_times_s": big["extra"]["trial_times_s"],
+            }
+        except Exception as e:
+            log(f"[bench] grid256 failed: {e}")
+            result["extra"]["grid256"] = None
         # multigrid warm start: converge 128^3, spectrally refine chi,
         # finish 256^3 to the same dE < 1e-7 eV criterion — the whole
         # chain timed (BENCH_MULTIGRID=0 skips)
@@ -694,9 +698,11 @@ def main():
         n_xl = int(os.environ.get("BENCH_XL", "320"))
         try:
             xl = run_config(n_xl, max(3, trials), measure_roofline_too=False)
-            sys_probe = build_system((n_xl,) * 3)
-            radial = (int(np.prod((n_xl,) * 3)) > 256 ** 3
-                      and not sys_probe._has_prepare_terms())
+            # the bench term set (IonIon/IonElectron/Hartree/WT/PBE) has no
+            # prepared (ladder) terms, so _precond_kernel's radial branch
+            # fires purely on the size predicate — no need to build a
+            # second full-size System just to probe it
+            radial = int(np.prod((n_xl,) * 3)) > 256 ** 3
             result["extra"][f"grid{n_xl}"] = {
                 "time_s": xl["value"], "iters": xl["extra"]["iters"],
                 "converged": xl["extra"]["converged"],
