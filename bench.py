@@ -440,40 +440,88 @@ def run_multigrid(n_coarse, n_fine, trials):
 
 def run_eos_batched(n=128, N_points=9):
     """Driver-timed batched EOS scan (VERDICT r04 missing #4): ONE vmapped
-    whole-optimization program over all volume points — the TPU-native
-    data-parallel EOS layout — vs the reference-style serial volume scan,
-    both on the TPU at a production grid.  Reports wall times and the
+    whole-optimization f32 program over all volume points — the TPU-native
+    data-parallel EOS layout — vs the reference-style serial volume scan
+    (the SAME compiled per-point program, called in a Python loop), both
+    on the TPU at a production grid.  Per-volume setup (recpot
+    interpolation, structure factor) runs host-side CPU f64 and is
+    untimed for both paths: its eager complex128 FFTs are unsupported on
+    TPU (System._eos_points pins it).  Reports scan wall times and the
     fitted (K0 [GPa], V0 [A^3/atom]) parity."""
     import jax
+    import jax.numpy as jnp
+    from professad_tpu.utils.elastic import fit_eos
 
-    system = build_system((n, n, n))
+    with jax.default_device(jax.devices("cpu")[0]):
+        system = build_system((n, n, n))
+    pred_v0 = float(system.volume("a3"))
+    norm_box = np.asarray(system.lattice_vectors("a")) / pred_v0 ** (1.0 / 3.0)
+    vs = pred_v0 * np.linspace(0.95, 1.05, N_points)
+
     t0 = time.perf_counter()
-    p_ser, _ = system.eos_fit(
-        f=0.05, N=N_points, ntol=1e-7, jit_loop=True, precondition=True,
-        n_method="TPGD", n_step_size=1.0, skip_iters=2, analytic=True)
+    box_b, vext_b, chi_b, E_ions = system._eos_points(
+        vs, norm_box, dtype=jnp.float32)
+    jax.block_until_ready(vext_b)
+    log(f"[bench] eos setup (CPU f64, untimed) "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    solve = system._eos_solve_fn("TPGD", 1.0, 1e-7, 3, 1000, True)
+    eV = 27.211386245988
+
+    def fit(fs, convs):
+        vols = [float(v) / system._N_ions
+                for v, ok in zip(vs, convs) if bool(ok)]
+        enes = [(float(f) + E) * eV / system._N_ions
+                for f, E, ok in zip(fs, E_ions, convs) if bool(ok)]
+        params, _ = fit_eos(vols, enes, "bm", False)
+        params[0] *= system.GPa_per_atomic / (system.eV_per_Ha
+                                              / system.A_per_b ** 3)
+        return params
+
+    # serial reference: one volume point at a time through one compiled
+    # program (compile + warm on point 0, untimed; timed inputs perturbed
+    # by a chi-gauge scale so no call can be served from result residency)
+    solve1 = jax.jit(solve)
+    t0 = time.perf_counter()
+    f0, c0 = solve1(chi_b[0], box_b[0], vext_b[0])
+    jax.block_until_ready(f0)
+    log(f"[bench] eos serial compile+warm {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    fs_ser, cs_ser = [], []
+    for i in range(N_points):
+        fi, ci = solve1(chi_b[i] * (1.0 + 1e-7), box_b[i], vext_b[i])
+        fs_ser.append(fi)
+        cs_ser.append(ci)
+    jax.block_until_ready(fs_ser[-1])
     t_ser = time.perf_counter() - t0
 
-    s2 = build_system((n, n, n))
-    # compile + first call
+    # batched: ONE vmapped program over the volume axis
+    solveN = jax.jit(jax.vmap(solve))
     t0 = time.perf_counter()
-    p_bat, _ = s2.eos_fit(f=0.05, N=N_points, ntol=1e-7, batched=True,
-                          n_method="TPGD", n_step_size=1.0, analytic=True)
+    fb, cb = solveN(chi_b, box_b, vext_b)
+    jax.block_until_ready(fb)
     t_first = time.perf_counter() - t0
-    # steady-state rerun (different f so inputs differ: no result residency)
     t0 = time.perf_counter()
-    p_bat2, _ = s2.eos_fit(f=0.0501, N=N_points, ntol=1e-7, batched=True,
-                           n_method="TPGD", n_step_size=1.0, analytic=True)
+    fb, cb = solveN(chi_b * (1.0 + 1e-7), box_b, vext_b)
+    jax.block_until_ready(fb)
     t_bat = time.perf_counter() - t0
 
+    cs_ser = [bool(c) for c in cs_ser]
+    cb = np.asarray(cb)
+    p_ser = fit(np.asarray(fs_ser, dtype=np.float64), cs_ser)
+    p_bat = fit(np.asarray(fb, dtype=np.float64), cb)
     K_rel = abs(float(p_bat[0]) - float(p_ser[0])) / abs(float(p_ser[0]))
     V_rel = abs(float(p_bat[3]) - float(p_ser[3])) / abs(float(p_ser[3]))
     log(f"[bench] eos_batched {n}^3 x{N_points}: serial {t_ser:.3f}s, "
-        f"batched {t_bat:.3f}s (first+compile {t_first:.1f}s); "
+        f"batched {t_bat:.3f}s (first+compile {t_first:.1f}s), "
+        f"converged {sum(cs_ser)}/{int(cb.sum())} of {N_points}; "
         f"K0 {float(p_bat[0]):.2f} vs {float(p_ser[0]):.2f} GPa "
         f"(rel {K_rel:.1e}), V0 rel {V_rel:.1e}")
     return {"serial_scan_s": round(t_ser, 3),
             "batched_scan_s": round(t_bat, 3),
             "speedup": round(t_ser / t_bat, 2),
+            "n_converged_serial": int(sum(cs_ser)),
+            "n_converged_batched": int(cb.sum()),
             "K0_GPa_serial": round(float(p_ser[0]), 3),
             "K0_GPa_batched": round(float(p_bat[0]), 3),
             "K0_rel_diff": K_rel, "V0_rel_diff": V_rel}

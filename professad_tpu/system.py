@@ -1894,7 +1894,7 @@ class System:
     # ------------------------------------------------------------------
 
     def eos_fit(self, f=0.05, N=9, eos="bm", verbose=False, plot=False,
-                batched=False, mesh=None, **den_opt_kwargs):
+                batched=False, mesh=None, dtype=None, **den_opt_kwargs):
         """Murnaghan / Birch-Murnaghan EOS fit over a volume scan
         (system.py:568-621).
 
@@ -1909,12 +1909,22 @@ class System:
         point's density optimization through the distributed pencil solver
         instead — the scan for grids that don't fit one chip.  Requires
         ``batched=False`` (the two mesh layouts are mutually exclusive).
+
+        ``dtype`` (batched=True only, e.g. ``jnp.float32``): per-volume
+        setup stays host-side CPU f64 (recpot/structure-factor FFTs are
+        complex128, unsupported on TPU) and the vmapped solve runs in
+        ``dtype`` on the default device — the f32-on-TPU fast path.
         """
         den_opt_inputs = {"ntol": 1e-10, "n_conv_cond_count": 3,
                           "n_method": "LBFGS", "n_step_size": 0.1,
                           "n_maxiter": 1000, "conv_target": "dE",
                           "n_verbose": False, "from_uniform": False}
         den_opt_inputs.update(den_opt_kwargs)
+
+        if dtype is not None and not batched:
+            raise ValueError(
+                "eos_fit(dtype=...) applies to the batched scan only; the "
+                "serial scan runs at the System's own precision")
 
         # A mesh counts as "grid-distributed" only if its grid axis is
         # actually wider than one device — make_mesh always creates both
@@ -1956,7 +1966,8 @@ class System:
                 n_method=den_opt_inputs["n_method"],
                 conv_count=den_opt_inputs["n_conv_cond_count"],
                 conv_target=den_opt_inputs["conv_target"],
-                analytic=den_opt_kwargs.get("analytic", False))
+                analytic=den_opt_kwargs.get("analytic", False),
+                dtype=dtype)
             if verbose:
                 print("\n{:^22} {:^22}".format("Volume [A^3 per atom]",
                                                "Energy [eV per atom]"))
@@ -1982,9 +1993,92 @@ class System:
         err[0] *= self.GPa_per_atomic / (self.eV_per_Ha / self.A_per_b**3)
         return params, err
 
+    def _eos_points(self, vs_A3, norm_box_A, dtype=None):
+        """Stacked per-volume scan inputs (boxes, v_ext, uniform chi) plus
+        the per-volume ion-ion energies [Ha].
+
+        Setup is pinned to the CPU backend in f64: recpot Ṽ(k)
+        interpolation and the structure factor run eager complex128 FFTs,
+        which the TPU does not support ("Element type C128 is not
+        supported").  ``dtype`` (e.g. ``jnp.float32``) casts the stacked
+        solver inputs and places them on the default device — the same
+        f32-on-TPU fast-path recipe as ``optimize_density``'s jit_loop
+        tier (setup host-side f64, solve accelerator-side f32)."""
+        frac = self._frac_ion_coords
+        has_ii = self._has_ion_ion()
+        boxes, vexts, chis, E_ions = [], [], [], []
+        with jax.default_device(jax.devices("cpu")[0]):
+            for v in vs_A3:
+                box_b = jnp.asarray(
+                    (v ** (1.0 / 3.0)) * norm_box_A / self.A_per_b)
+                vol_b = float(volume(box_b))
+                if self._needs_vext():
+                    v_ext = self._potential_from_ions(box_b, frac @ box_b)
+                else:
+                    v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
+                chi0 = jnp.full(self._shape,
+                                np.sqrt(self._N_elec / vol_b)).reshape(-1)
+                if has_ii:
+                    Rc, Rd = self._Rc_Rd(box=box_b)
+                    shifts = ion_utils.neighbor_shifts(np.asarray(box_b), Rc)
+                    E_ii = float(ion_utils.ion_interaction_sum(
+                        box_b, frac @ box_b, self._charges, Rc, Rd,
+                        shifts=shifts))
+                else:
+                    E_ii = 0.0
+                boxes.append(box_b)
+                vexts.append(v_ext)
+                chis.append(chi0)
+                E_ions.append(E_ii)
+            box_b = jnp.stack(boxes)
+            vext_b = jnp.stack(vexts)
+            chi_b = jnp.stack(chis)
+        if dtype is not None:
+            # honor an ambient jax_default_device (the test conftest pins
+            # "cpu" — the axon TPU plugin ignores JAX_PLATFORMS for the
+            # default backend, so devices()[0] alone would drag the suite
+            # onto the TPU); otherwise the accelerator is the target
+            dev = jax.config.jax_default_device or jax.devices()[0]
+            if isinstance(dev, str):
+                dev = jax.devices(dev)[0]
+            box_b = jax.device_put(box_b.astype(dtype), dev)
+            vext_b = jax.device_put(vext_b.astype(dtype), dev)
+            chi_b = jax.device_put(chi_b.astype(dtype), dev)
+        return box_b, vext_b, chi_b, E_ions
+
+    def _eos_solve_fn(self, n_method, lr, ntol, conv_count, max_iter,
+                      analytic):
+        """One volume point's whole-optimization program for the EOS scan:
+        (chi0, box, v_ext) -> (E_density_terms [Ha], converged).  Jittable,
+        vmappable (the batched scan maps it over the volume axis; bench.py
+        jits it bare as the serial reference)."""
+        N_elec = self._N_elec
+
+        def solve(chi0, box, v_ext):
+            if analytic:
+                vg = lambda x: self._chi_value_and_grad_analytic(
+                    x, box, v_ext, N_elec)
+            else:
+                vg = lambda x: jax.value_and_grad(self._chi_energy)(
+                    x, box, v_ext, N_elec)
+            aH0 = self._exact_precond(box, N_elec)
+            if n_method == "TPGD":
+                st, it, conv = solvers.tpgd_minimize(
+                    vg, chi0, lr=lr, ntol=ntol, conv_count=conv_count,
+                    max_iter=max_iter, f_scale=EV_PER_HA, apply_H0=aH0,
+                    skip_iters=2)
+            else:
+                st, it, conv = solvers.lbfgs_minimize(
+                    vg, chi0, lr=lr, ntol=ntol, conv_count=conv_count,
+                    max_iter=max_iter, f_scale=EV_PER_HA, apply_H0=aH0,
+                    block=1, skip_iters=2)
+            return st.f, conv
+
+        return solve
+
     def _eos_scan_batched(self, vs_A3, norm_box_A, mesh, ntol, lr, max_iter,
                           n_method="LBFGS", conv_count=3, conv_target="dE",
-                          analytic=False):
+                          analytic=False, dtype=None):
         """Batched volume scan: one vmapped whole-optimization XLA program
         over all volume points (the "batch" mesh axis consumer).
 
@@ -2013,34 +2107,8 @@ class System:
                 "eos_fit(batched=True) supports conv_target='dE' only")
         if n_method not in ("LBFGS", "TPGD"):
             raise ValueError("n_method must be 'LBFGS' or 'TPGD'")
-        frac = self._frac_ion_coords
-        has_ii = self._has_ion_ion()
-        boxes, vexts, chis, E_ions = [], [], [], []
-        for v in vs_A3:
-            box_b = jnp.asarray((v ** (1.0 / 3.0)) * norm_box_A / self.A_per_b)
-            vol_b = float(volume(box_b))
-            if self._needs_vext():
-                v_ext = self._potential_from_ions(box_b, frac @ box_b)
-            else:
-                v_ext = jnp.zeros(self._shape, dtype=jnp.float64)
-            chi0 = jnp.full(self._shape,
-                            np.sqrt(self._N_elec / vol_b)).reshape(-1)
-            if has_ii:
-                Rc, Rd = self._Rc_Rd(box=box_b)
-                shifts = ion_utils.neighbor_shifts(np.asarray(box_b), Rc)
-                E_ii = float(ion_utils.ion_interaction_sum(
-                    box_b, frac @ box_b, self._charges, Rc, Rd, shifts=shifts))
-            else:
-                E_ii = 0.0
-            boxes.append(box_b)
-            vexts.append(v_ext)
-            chis.append(chi0)
-            E_ions.append(E_ii)
-
-        box_b = jnp.stack(boxes)
-        vext_b = jnp.stack(vexts)
-        chi_b = jnp.stack(chis)
-        N_elec = self._N_elec
+        box_b, vext_b, chi_b, E_ions = self._eos_points(
+            vs_A3, norm_box_A, dtype=dtype)
 
         if analytic:
             from .models.potentials import supported_terms
@@ -2049,25 +2117,8 @@ class System:
                     "eos_fit(batched=True, analytic=True) requires every "
                     "term to have a fused analytic potential.")
 
-        def solve(chi0, box, v_ext):
-            if analytic:
-                vg = lambda x: self._chi_value_and_grad_analytic(
-                    x, box, v_ext, N_elec)
-            else:
-                vg = lambda x: jax.value_and_grad(self._chi_energy)(
-                    x, box, v_ext, N_elec)
-            aH0 = self._exact_precond(box, N_elec)
-            if n_method == "TPGD":
-                st, it, conv = solvers.tpgd_minimize(
-                    vg, chi0, lr=lr, ntol=ntol, conv_count=conv_count,
-                    max_iter=max_iter, f_scale=EV_PER_HA, apply_H0=aH0,
-                    skip_iters=2)
-            else:
-                st, it, conv = solvers.lbfgs_minimize(
-                    vg, chi0, lr=lr, ntol=ntol, conv_count=conv_count,
-                    max_iter=max_iter, f_scale=EV_PER_HA, apply_H0=aH0,
-                    block=1, skip_iters=2)
-            return st.f, conv
+        solve = self._eos_solve_fn(n_method, lr, ntol, conv_count, max_iter,
+                                   analytic)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -98,6 +98,30 @@ def test_batched_eos_nonconverged_points_raise():
         s.eos_fit(N=6, batched=True, ntol=1e-12, n_maxiter=2)
 
 
+def test_batched_eos_dtype_f32_matches_f64():
+    """eos_fit(batched=True, dtype=jnp.float32): the accelerator fast-path
+    recipe — per-volume setup host-side CPU f64, vmapped solve in f32
+    (bench.py run_eos_batched runs exactly this on the TPU).  Fitted
+    (K0, V0) must agree with the f64 scan to f32-landing accuracy."""
+    s = _fcc_al((10, 10, 10))
+    params64, _ = s.eos_fit(f=0.04, N=6, ntol=1e-7, batched=True,
+                            n_method="TPGD", n_step_size=1.0)
+    s2 = _fcc_al((10, 10, 10))
+    params32, _ = s2.eos_fit(f=0.04, N=6, ntol=1e-7, batched=True,
+                             n_method="TPGD", n_step_size=1.0,
+                             dtype=jnp.float32)
+    # K0 (curvature, GPa) and V0 (minimum, A^3): f32 energies carry ~1e-7
+    # Ha absolute noise into the 4-parameter fit
+    np.testing.assert_allclose(np.asarray(params32)[[0, 3]],
+                               np.asarray(params64)[[0, 3]], rtol=2e-3)
+
+
+def test_eos_dtype_requires_batched():
+    s = _fcc_al((8, 8, 8))
+    with pytest.raises(ValueError, match="batched"):
+        s.eos_fit(N=6, dtype=jnp.float32)
+
+
 def test_batched_eos_honors_lbfgs(capsys):
     s = _fcc_al((10, 10, 10))
     params_l, _ = s.eos_fit(f=0.04, N=6, ntol=1e-9, batched=True,
